@@ -1,0 +1,90 @@
+"""Metadynamics bias engine: hill scheduling, WT scaling, FES estimators.
+
+Reference parity: the bias-update core of ``IntegratorMetaDynamics.{h,cc}``
+(recalled, SURVEY.md §3.1): every ``stride`` steps deposit a hill of height
+
+    W' = W                      (standard)
+    W' = W · exp(−V(s)/ΔT)      (well-tempered, Barducci–Bussi–Parrinello
+                                 PRL 100, 020603 (2008))
+
+onto the grid; between deposits interpolate V and ∂V/∂s at the current CV
+point and feed −∂V/∂s into the bias-force chain rule.  Flux-tempered mode
+lives in bias/flux.py.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .grid import BiasGrid, GridSpec, deposit_hill, value_and_grad
+
+STANDARD = "standard"
+WELL_TEMPERED = "well_tempered"
+FLUX_TEMPERED = "flux_tempered"
+
+
+@struct.dataclass
+class HillSpec:
+    """Mirrors ``mode_metadynamics(W=..., stride=..., deltaT=..., mode=...)``
+    (recalled python API, SURVEY.md §2a)."""
+
+    W: jax.Array                 # hill height
+    stride: int = struct.field(pytree_node=False, default=500)
+    mode: str = struct.field(pytree_node=False, default=STANDARD)
+    deltaT: jax.Array = struct.field(default_factory=lambda: jnp.float32(1.0))
+
+    @classmethod
+    def create(cls, W: float, stride: int, mode: str = STANDARD,
+               deltaT: float = 1.0) -> "HillSpec":
+        assert mode in (STANDARD, WELL_TEMPERED, FLUX_TEMPERED)
+        return cls(W=jnp.float32(W), stride=stride, mode=mode,
+                   deltaT=jnp.float32(deltaT))
+
+
+@struct.dataclass
+class BiasState:
+    """Carried through the jitted loop alongside the MD state."""
+
+    grid: BiasGrid
+    n_hills: jax.Array  # () i32
+
+    @classmethod
+    def zeros(cls, spec: GridSpec) -> "BiasState":
+        return cls(grid=BiasGrid.zeros(spec), n_hills=jnp.int32(0))
+
+
+class HillRecord(NamedTuple):
+    """One hill-file row (PLUMED-like: time/step, s⃗, σ⃗, W')."""
+
+    step: jax.Array    # () i32
+    center: jax.Array  # (d,)
+    height: jax.Array  # ()
+
+
+def hill_height(hills: HillSpec, bias: BiasState, s: jax.Array) -> jax.Array:
+    """Current deposit height W' given the existing bias at s."""
+    if hills.mode == WELL_TEMPERED:
+        V, _ = value_and_grad(bias.grid, s)
+        return hills.W * jnp.exp(-V / hills.deltaT)
+    return hills.W * jnp.ones(())
+
+
+def deposit(hills: HillSpec, bias: BiasState, s: jax.Array,
+            step: jax.Array) -> tuple[BiasState, HillRecord]:
+    h = hill_height(hills, bias, s)
+    grid = deposit_hill(bias.grid, s, h)
+    new = BiasState(grid=grid, n_hills=bias.n_hills + 1)
+    return new, HillRecord(step=step, center=s, height=h)
+
+
+def free_energy(hills: HillSpec, bias: BiasState, kT: jax.Array) -> jax.Array:
+    """FES estimate on the grid: F(s) = −V(s) (standard) or
+    −(T+ΔT)/ΔT · V(s) (well-tempered), shifted so min F = 0."""
+    if hills.mode == WELL_TEMPERED:
+        F = -(kT + hills.deltaT) / hills.deltaT * bias.grid.V
+    else:
+        F = -bias.grid.V
+    return F - jnp.min(F)

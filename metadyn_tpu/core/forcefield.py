@@ -28,6 +28,9 @@ class ForceField:
     pair_kernel: Optional[PairKernel] = struct.field(pytree_node=False, default=None)
     harmonic: Optional[bond_ops.HarmonicBondParams] = None
     fene: Optional[bond_ops.FENEBondParams] = None
+    # external(pos, state, system) -> scalar energy; force via autodiff.
+    # Covers HOOMD's external.periodic-style fields and test toy potentials.
+    external: Optional[Callable] = struct.field(pytree_node=False, default=None)
     row_block: int = struct.field(pytree_node=False, default=1024)
 
     def bind(self, system: System) -> ForceFn:
@@ -49,6 +52,9 @@ class ForceField:
                 r = bond_ops.fene_bond_force(
                     state.pos, system.bonds, system.bond_types, state.box, self.fene)
                 e, f, w = e + r.energy, f + r.force, w + r.virial
+            if self.external is not None:
+                e_ext, g = jax.value_and_grad(self.external)(state.pos, state, system)
+                e, f = e + e_ext, f - g
             return PairForceResult(e, f, w)
 
         return force_fn

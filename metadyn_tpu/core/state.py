@@ -118,6 +118,7 @@ def kinetic_energy(state: State, system: System) -> jax.Array:
 
 
 def temperature(state: State, system: System) -> jax.Array:
-    """Instantaneous kinetic temperature, 3N - 3 DOF (momentum-conserving)."""
-    dof = 3 * state.n - 3
+    """Instantaneous kinetic temperature; 3N − 3 DOF for momentum-conserving
+    dynamics, floored at 3 so few-particle (Langevin) systems stay finite."""
+    dof = max(3 * state.n - 3, 3)
     return 2.0 * kinetic_energy(state, system) / dof

@@ -1,0 +1,189 @@
+"""The metadynamics sampler — TPU-native ``IntegratorMetaDynamics``.
+
+Reference parity: ``IntegratorMetaDynamics::update`` (recalled, SURVEY.md
+§3.1).  The reference's per-step host path (CV eval → D2H scalar copy →
+bias-factor set → GPU force kernels) becomes ONE jitted program: a
+``lax.scan`` over MD steps inside a deposition stride, with the hill deposit
+as the fused tail of each stride chunk (SURVEY.md §7 tenet 1) — no host
+round-trips, no step-time spike at stride boundaries (BASELINE.md
+"hill-deposit latency").
+
+Within a stride the bias grid is constant (as in the reference); every MD
+step still re-interpolates ∂V/∂s at the current CV point and applies
+F_bias = −∂V/∂s · ∂s/∂r through one vjp (cv/base.py).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .core.state import State, System, temperature
+from .cv.base import CollectiveVariable, cv_values
+from .bias.grid import GridSpec, value_and_grad
+from .bias.metad import BiasState, HillSpec, HillRecord, deposit, free_energy
+from .ops.pairs import PairForceResult
+from .io.hill_log import HillLog
+
+
+@struct.dataclass
+class SamplerCarry:
+    state: State
+    bias: BiasState
+    key: jax.Array
+    step: jax.Array  # () i32 global step counter
+
+
+def make_biased_force(
+    base_force_fn: Callable[[State], PairForceResult],
+    cvs: Sequence[CollectiveVariable],
+    system: System,
+):
+    """Compose base forces with the metadynamics bias force."""
+
+    def force(state: State, bias: BiasState) -> PairForceResult:
+        base = base_force_fn(state)
+
+        def stacked(pos):
+            return cv_values(cvs, state.replace(pos=pos), system)
+
+        s, vjp = jax.vjp(stacked, state.pos)
+        _, dVds = value_and_grad(bias.grid, s)
+        (g,) = vjp(dVds)
+        return PairForceResult(base.energy, base.force - g, base.virial)
+
+    return force
+
+
+def make_stride_chunk(
+    biased_force,
+    cvs: Sequence[CollectiveVariable],
+    system: System,
+    hills: HillSpec,
+    integrator_factory: Callable,
+):
+    """One deposition stride: scan `stride` MD steps, then deposit a hill."""
+
+    def chunk(carry: SamplerCarry, _):
+        bias = carry.bias
+        step_fn = integrator_factory(lambda st: biased_force(st, bias))
+
+        def body(state, i):
+            k = jax.random.fold_in(carry.key, carry.step + i)
+            return step_fn(state, k), None
+
+        state, _ = jax.lax.scan(body, carry.state, jnp.arange(hills.stride))
+        new_step = carry.step + hills.stride
+        s = cv_values(cvs, state, system)
+        new_bias, rec = deposit(hills, bias, s, new_step)
+        V, _ = value_and_grad(new_bias.grid, s)
+        metrics = {
+            "step": new_step,
+            "cv": s,
+            "bias_V": V,
+            "hill_height": rec.height,
+            "temperature": temperature(state, system),
+            "potential_energy": state.potential_energy,
+            # CV outside the registered grid range → hills silently clamp;
+            # surface it like the reference's grid-bounds warning
+            "cv_out_of_grid": jnp.any(
+                (s < new_bias.grid.spec.lo) | (s > new_bias.grid.spec.hi)
+            ),
+        }
+        return SamplerCarry(state, new_bias, carry.key, new_step), (rec, metrics)
+
+    return chunk
+
+
+class MetadSampler:
+    """User-facing driver mirroring ``metadynamics.integrate.mode_metadynamics``.
+
+    Parameters mirror the reference python API (SURVEY.md §2a): hill height
+    ``W``, ``stride``, ``deltaT``/mode via :class:`HillSpec`; per-CV grid
+    ranges via :class:`GridSpec`; ``filename``/``overwrite`` via
+    :class:`HillLog`.
+    """
+
+    def __init__(
+        self,
+        system: System,
+        state: State,
+        base_force_fn,
+        cvs: Sequence[CollectiveVariable],
+        grid_spec: GridSpec,
+        hills: HillSpec,
+        integrator_factory,
+        seed: int = 0,
+        hill_file: Optional[str] = None,
+        overwrite: bool = False,
+        initial_bias: Optional[BiasState] = None,
+        chunks_per_block: int = 64,
+    ):
+        assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
+        self.system = system
+        self.cvs = list(cvs)
+        self.hills = hills
+        self.grid_spec = grid_spec
+        self.biased_force = make_biased_force(base_force_fn, cvs, system)
+        bias = initial_bias if initial_bias is not None else BiasState.zeros(grid_spec)
+
+        # prime forces at the initial positions (with any restart bias)
+        res = self.biased_force(state, bias)
+        state = state.replace(force=res.force, potential_energy=res.energy)
+
+        self.carry = SamplerCarry(
+            state=state, bias=bias, key=jax.random.PRNGKey(seed), step=jnp.int32(0)
+        )
+        chunk = make_stride_chunk(
+            self.biased_force, cvs, system, hills, integrator_factory)
+
+        def run_chunks(carry, n):
+            return jax.lax.scan(chunk, carry, None, length=n)
+
+        # Fixed-size blocks: TPU compile time grows with scan length, so we
+        # compile once for `chunks_per_block` strides and loop blocks on the
+        # host (dispatch cost amortized over stride·block steps).
+        self._block = chunks_per_block
+        self._run_chunks = jax.jit(run_chunks, static_argnums=1)
+        self.hill_log = HillLog(hill_file, self, overwrite=overwrite) if hill_file else None
+        self.history: list[dict] = []
+
+    @property
+    def state(self) -> State:
+        return self.carry.state
+
+    @property
+    def bias(self) -> BiasState:
+        return self.carry.bias
+
+    def run(self, n_steps: int) -> list[dict]:
+        """Run n_steps (must be a multiple of the deposition stride).
+
+        Returns per-stride metric dicts (host numpy), appends the hill log.
+        """
+        stride = self.hills.stride
+        assert n_steps % stride == 0, "n_steps must be a multiple of stride"
+        n_chunks = n_steps // stride
+        out = []
+        remaining = n_chunks
+        while remaining > 0:
+            n = self._block if remaining >= self._block else remaining
+            self.carry, (recs, metrics) = self._run_chunks(self.carry, n)
+            recs, metrics = jax.device_get((recs, metrics))
+            for i in range(n):
+                out.append({k: np.asarray(v[i]) for k, v in metrics.items()})
+            if self.hill_log is not None:
+                self.hill_log.append(recs)
+            remaining -= n
+        self.history.extend(out)
+        return out
+
+    def free_energy(self, kT: float) -> np.ndarray:
+        """FES estimate on the bias grid (see bias.metad.free_energy)."""
+        return np.asarray(free_energy(self.hills, self.carry.bias, jnp.float32(kT)))
+
+    def grid_coords(self, d: int = 0) -> np.ndarray:
+        return np.asarray(self.grid_spec.axis_coords(d))

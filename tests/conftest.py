@@ -11,9 +11,17 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# hard-set (not setdefault): the container exports JAX_PLATFORMS=axon and
+# tests must run on the virtual-device CPU backend regardless.
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
+
+# The axon PJRT plugin force-registers itself ("axon,cpu") and overrides the
+# env var, so pin the platform again post-import.  Verified: env-only is NOT
+# enough in this container.
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
 
 

@@ -150,8 +150,8 @@ def test_langevin_equipartition(key):
     state = make_state(pos, box)
     res = force_fn(state)
     state = state.replace(force=res.force, potential_energy=res.energy)
-    step = make_langevin_step(force_fn, system, dt=0.005, kT=kT, gamma=1.0)
-    state = jax.jit(lambda s: run_steps(step, s, key, 300))(state)  # equilibrate
+    step = make_langevin_step(force_fn, system, dt=0.005, kT=kT, gamma=2.0)
+    state = jax.jit(lambda s: run_steps(step, s, key, 2000))(state)  # equilibrate
 
     # average T over sample windows
     temps = []
