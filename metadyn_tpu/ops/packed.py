@@ -1,0 +1,363 @@
+"""Packed cell-major MD state + gather-free pair forces (the TPU hot path).
+
+Reference parity: HOOMD's ``CellList`` + ``PotentialPair*GPU`` traversal
+(SURVEY.md §2b/§2c).  The CUDA design — per-thread random access through a
+neighbor index list — is hostile to TPU (measured on v5e: XLA gather/scatter
+≈ 8 ns/element, i.e. a 64k×150 neighbor gather costs ~60 ms).  This module
+is the TPU-native re-design:
+
+**Layout.**  Particles live permanently in *cell-major slot arrays*: flat
+index ``slot = rank·C + cell`` reshaped as (cap, C) with the cell axis
+minor (lane-aligned; C = ncells).  Coordinates are SoA — separate (Npad,)
+x/y/z arrays — because any wide array with a trailing dim of 3 gets
+lane-padded 3→128 on TPU (42× blowup, measured OOM at 64k).
+
+**Pair force: the 27-offset roll method.**  For each of the 27 neighbor-cell
+offsets, the partner array is ``jnp.roll`` of the (cap, cx, cy, cz) view —
+a static, contiguous permutation — plus a precomputed ±L periodic shift per
+cell.  Pair interactions are then pure broadcasts (cap_j, cap_i, C) reduced
+over cap_j: zero dynamic indexing in the hot loop; the VPU runs at full
+lane occupancy.
+
+**Vacancy masking for free.**  Pair parameters use per-slot
+Lorentz–Berthelot factors (√ε_i, σ_i/2); vacant slots carry √ε = 0 so every
+pair involving them contributes exactly zero — no extra mask ops.
+
+**Rebuild.**  Every ``rebuild_every`` steps: recompute cell ids, rank by a
+1-D sort (deterministic, unlike CUDA atomics), and re-scatter all slot
+arrays (~10 element scatters at rebuild cadence, amortized ≪ step cost).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.box import Box
+
+
+@struct.dataclass
+class PackedSpec:
+    """Static geometry: cell grid + slot capacity (compile-time)."""
+
+    cells_per_dim: tuple = struct.field(pytree_node=False)  # (cx, cy, cz)
+    cap: int = struct.field(pytree_node=False)
+    n_real: int = struct.field(pytree_node=False)
+    r_cut: float = struct.field(pytree_node=False)
+    skin: float = struct.field(pytree_node=False)
+    shift_energy: bool = struct.field(pytree_node=False, default=True)
+
+    @property
+    def n_cells(self) -> int:
+        cx, cy, cz = self.cells_per_dim
+        return cx * cy * cz
+
+    @property
+    def n_pad(self) -> int:
+        return self.cap * self.n_cells
+
+    @property
+    def r_list(self) -> float:
+        return self.r_cut + self.skin
+
+    @classmethod
+    def create(cls, box_L, n_particles: int, r_cut: float, skin: float = 0.5,
+               cap: Optional[int] = None, shift_energy: bool = True) -> "PackedSpec":
+        L = np.asarray(box_L, np.float64).reshape(-1)
+        if L.size == 1:
+            L = np.repeat(L, 3)
+        r_list = r_cut + skin
+        cpd = tuple(int(np.floor(l / r_list)) for l in L)
+        assert min(cpd) >= 3, (
+            f"box too small for cell decomposition: cells_per_dim={cpd}; "
+            "use the all-pairs engine")
+        n_cells = int(np.prod(cpd))
+        if cap is None:
+            mean_occ = n_particles / n_cells
+            cap = max(4, int(np.ceil(mean_occ * 2.2)))
+        return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
+                   r_cut=r_cut, skin=skin, shift_energy=shift_energy)
+
+
+@struct.dataclass
+class PackedState:
+    """MD state in slot layout.  All (3, Npad) f32 / (Npad,) vectors."""
+
+    r: jax.Array        # (3, Npad) wrapped positions (vacant: 0)
+    v: jax.Array        # (3, Npad)
+    f: jax.Array        # (3, Npad) forces at r
+    image: jax.Array    # (3, Npad) i32 box-image counters
+    ref_r: jax.Array    # (3, Npad) positions at last rebuild
+    pid: jax.Array      # (Npad,) i32 original particle id; n_real = vacant
+    typ: jax.Array      # (Npad,) i32 type; n_types = vacant sentinel
+    slot_of: jax.Array  # (n_real,) i32 current slot of each particle id
+    attrs: dict         # per-slot f32 attrs: 'se'=√ε, 'hs'=σ/2, + CV coefs
+    box: Box
+    potential_energy: jax.Array
+    virial: jax.Array
+
+    @property
+    def n_pad(self) -> int:
+        return self.pid.shape[0]
+
+
+def _cell_id_packed(r: jax.Array, box: Box, spec: PackedSpec) -> jax.Array:
+    """Linear cell id per slot/particle from (3, M) coordinates."""
+    cpd = np.asarray(spec.cells_per_dim, np.int32)
+    out = jnp.zeros(r.shape[1], jnp.int32)
+    for d in range(3):
+        frac = r[d] / box.L[d] + 0.5
+        c = jnp.clip(jnp.floor(frac * cpd[d]).astype(jnp.int32), 0, cpd[d] - 1)
+        out = out * cpd[d] + c
+    return out
+
+
+def _slot_assignment(cid: jax.Array, valid: jax.Array, spec: PackedSpec):
+    """slot = rank·C + cell for valid entries; Npad (drop) for the rest.
+    Rank within a cell comes from a 1-D sort — deterministic binning."""
+    m = cid.shape[0]
+    key = jnp.where(valid, cid, jnp.int32(spec.n_cells))
+    order = jnp.argsort(key)          # valid entries grouped by cell
+    sorted_key = key[order]
+    rank = jnp.arange(m, dtype=jnp.int32) - jnp.searchsorted(
+        sorted_key, sorted_key, side="left").astype(jnp.int32)
+    # slot for the j-th sorted entry
+    slot_sorted = jnp.where(
+        (sorted_key < spec.n_cells) & (rank < spec.cap),
+        rank * spec.n_cells + sorted_key,
+        spec.n_pad,
+    )
+    overflow = jnp.any((sorted_key < spec.n_cells) & (rank >= spec.cap))
+    # back to input order
+    slot = jnp.zeros(m, jnp.int32).at[order].set(slot_sorted)
+    return slot, overflow
+
+
+def _scatter(x: jax.Array, slot: jax.Array, n_pad: int, fill) -> jax.Array:
+    out = jnp.full((n_pad + 1,), fill, x.dtype)
+    return out.at[slot].set(x, mode="drop")[:n_pad]
+
+
+def _scatter_rows(cols: list[jax.Array], slot: jax.Array, n_pad: int) -> list[jax.Array]:
+    """Permute many (M,) columns by one ROW scatter of an (M, W) matrix.
+
+    Measured on v5e: element scatters cost ~8 ns/element but row scatters of
+    width ≤128 cost ~the same per ROW — batching 16 attributes into one
+    matrix makes the repack ~16× cheaper.  i32 columns ride along bitcast
+    to f32.  Dropped (invalid) rows leave zeros.
+    """
+    w = len(cols)
+    wpad = ((w + 7) // 8) * 8
+    mats = []
+    for c in cols:
+        mats.append(jax.lax.bitcast_convert_type(c, jnp.float32)
+                    if c.dtype != jnp.float32 else c)
+    mat = jnp.stack(mats + [jnp.zeros_like(mats[0])] * (wpad - w), axis=1)  # (M, Wpad)
+    out = jnp.zeros((n_pad + 1, wpad), jnp.float32).at[slot].set(mat, mode="drop")
+    out = out[:n_pad]
+    res = []
+    for i, c in enumerate(cols):
+        col = out[:, i]
+        res.append(jax.lax.bitcast_convert_type(col, c.dtype)
+                   if c.dtype != jnp.float32 else col)
+    return res
+
+
+def pack(
+    pos: np.ndarray,            # (N, 3) particle-order positions
+    box: Box,
+    spec: PackedSpec,
+    types: jax.Array,           # (N,) i32
+    eps_i: jax.Array,           # (N,) per-particle ε (Lorentz–Berthelot)
+    sigma_i: jax.Array,         # (N,)
+    vel: Optional[jax.Array] = None,
+    image: Optional[jax.Array] = None,
+    extra_attrs: Optional[dict] = None,   # name -> (N,) f32 (e.g. CV coefs)
+) -> tuple[PackedState, jax.Array]:
+    """Initial build from particle-order arrays.  Returns (state, overflow)."""
+    n = spec.n_real
+    r_in = jnp.asarray(pos, jnp.float32).T            # (3, N)
+    v_in = (jnp.zeros_like(r_in) if vel is None
+            else jnp.asarray(vel, jnp.float32).T)
+    im_in = (jnp.zeros((3, n), jnp.int32) if image is None
+             else jnp.asarray(image, jnp.int32).T)
+    cid = _cell_id_packed(r_in, box, spec)
+    slot, overflow = _slot_assignment(cid, jnp.ones(n, bool), spec)
+    npad = spec.n_pad
+    attr_names = ["se", "hs"] + sorted((extra_attrs or {}).keys())
+    attr_cols = [jnp.sqrt(eps_i), 0.5 * sigma_i] + [
+        jnp.asarray((extra_attrs or {})[k], jnp.float32)
+        for k in sorted((extra_attrs or {}).keys())]
+    cols = (
+        [r_in[d] for d in range(3)] + [v_in[d] for d in range(3)]
+        + [im_in[d] for d in range(3)]
+        + [jnp.arange(1, n + 1, dtype=jnp.int32),      # pid+1 (0 ⇒ vacant)
+           types.astype(jnp.int32)]
+        + attr_cols
+    )
+    out = _scatter_rows(cols, slot, npad)
+    r = jnp.stack(out[0:3])
+    pid1 = out[9]
+    typ_raw = out[10]
+    valid = pid1 > 0
+    n_types = int(jnp.max(types)) + 1 if types.shape[0] else 1
+    state = PackedState(
+        r=r,
+        v=jnp.stack(out[3:6]),
+        f=jnp.zeros((3, npad), jnp.float32),
+        image=jnp.stack(out[6:9]),
+        ref_r=r,
+        pid=jnp.where(valid, pid1 - 1, jnp.int32(n)),
+        typ=jnp.where(valid, typ_raw, jnp.int32(n_types)),
+        slot_of=slot,
+        attrs=dict(zip(attr_names, out[11:])),
+        box=box,
+        potential_energy=jnp.float32(0.0),
+        virial=jnp.float32(0.0),
+    )
+    return state, overflow
+
+
+def repack(state: PackedState, spec: PackedSpec) -> tuple[PackedState, jax.Array]:
+    """Rebuild: migrate slots to current cells.  Returns (state, overflow)."""
+    valid_in = state.pid < spec.n_real
+    cid = _cell_id_packed(state.r, state.box, spec)
+    slot, overflow = _slot_assignment(cid, valid_in, spec)
+    npad = spec.n_pad
+    attr_names = sorted(state.attrs.keys())
+    cols = (
+        [state.r[d] for d in range(3)] + [state.v[d] for d in range(3)]
+        + [state.f[d] for d in range(3)] + [state.image[d] for d in range(3)]
+        + [jnp.where(valid_in, state.pid + 1, 0), state.typ]
+        + [state.attrs[k] for k in attr_names]
+    )
+    out = _scatter_rows(cols, slot, npad)
+    r = jnp.stack(out[0:3])
+    pid1 = out[12]
+    valid = pid1 > 0
+    sentinel_typ = jnp.max(state.typ)
+    pid = jnp.where(valid, pid1 - 1, jnp.int32(spec.n_real))
+    # vacant slots have pid == n_real (out of bounds) → dropped by the mode
+    slot_of = jnp.zeros(spec.n_real, jnp.int32).at[state.pid].set(
+        slot, mode="drop")
+    return state.replace(
+        r=r,
+        v=jnp.stack(out[3:6]),
+        f=jnp.stack(out[6:9]),
+        image=jnp.stack(out[9:12]),
+        ref_r=r,
+        pid=pid,
+        typ=jnp.where(valid, out[13], sentinel_typ),
+        slot_of=slot_of,
+        attrs=dict(zip(attr_names, out[14:])),
+    ), overflow
+
+
+def needs_repack(state: PackedState, spec: PackedSpec) -> jax.Array:
+    """Half-skin displacement criterion over valid slots."""
+    d2 = jnp.zeros(state.n_pad, jnp.float32)
+    for dim in range(3):
+        dx = state.r[dim] - state.ref_r[dim]
+        L = state.box.L[dim]
+        dx = dx - L * jnp.round(dx / L)
+        d2 = d2 + dx * dx
+    d2 = jnp.where(state.pid < spec.n_real, d2, 0.0)
+    return jnp.max(d2) > (0.5 * spec.skin) ** 2
+
+
+def _roll_offsets(spec: PackedSpec):
+    """Static per-offset (roll amounts, unit shift vectors) for all 27."""
+    cx, cy, cz = spec.cells_per_dim
+    C = spec.n_cells
+    ix, iy, iz = np.unravel_index(np.arange(C), (cx, cy, cz))
+    out = []
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                # unit shift: +1 if neighbor cell wraps past the high edge
+                sx = ((ix + ox) // cx).astype(np.float32)
+                sy = ((iy + oy) // cy).astype(np.float32)
+                sz = ((iz + oz) // cz).astype(np.float32)
+                out.append(((ox, oy, oz), np.stack([sx, sy, sz])))
+    return out
+
+
+def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
+    """LJ pair forces via the 27-offset roll method (see module docstring).
+
+    Per-slot Lorentz–Berthelot parameters: ε_ij = se_i·se_j (se=√ε),
+    σ_ij = hs_i + hs_j (hs=σ/2).  Vacant slots have se=0 ⇒ zero coupling.
+    """
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    view = lambda a: a.reshape(cap, cx, cy, cz)
+    x4 = [view(state.r[d].reshape(cap, C)) for d in range(3)]
+    se4 = view(state.attrs["se"].reshape(cap, C))
+    hs4 = view(state.attrs["hs"].reshape(cap, C))
+    rc2 = jnp.float32(spec.r_cut**2)
+    L = state.box.L
+
+    fx = [jnp.zeros((cap, C), jnp.float32) for _ in range(3)]
+    e_tot = jnp.float32(0.0)
+    w_tot = jnp.float32(0.0)
+    xi = [x4[d].reshape(cap, C)[None, :, :] for d in range(3)]       # (1, capi, C)
+    se_i = se4.reshape(cap, C)[None, :, :]
+    hs_i = hs4.reshape(cap, C)[None, :, :]
+
+    for (o, ushift) in _roll_offsets(spec):
+        roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
+        shift = jnp.asarray(ushift)                                   # (3, C)
+        # partner slots j: (capj, 1, C)
+        dx = []
+        r2 = jnp.zeros((cap, cap, C), jnp.float32)
+        for d in range(3):
+            xj = roll(x4[d]).reshape(cap, C) + shift[d][None, :] * L[d]
+            c = xi[d] - xj[:, None, :]
+            dx.append(c)
+            r2 = r2 + c * c
+        se_j = roll(se4).reshape(cap, C)[:, None, :]
+        hs_j = roll(hs4).reshape(cap, C)[:, None, :]
+        eps = se_i * se_j
+        sig = hs_i + hs_j
+        inside = (r2 < rc2) & (r2 > 1e-12)
+        r2s = jnp.where(inside, r2, 1.0)
+        s2 = sig * sig / r2s
+        s6 = s2 * s2 * s2
+        e = 4.0 * eps * (s6 * s6 - s6)
+        if spec.shift_energy:
+            sc2 = sig * sig / rc2
+            sc6 = sc2 * sc2 * sc2
+            e = e - 4.0 * eps * (sc6 * sc6 - sc6)
+        coef = 4.0 * eps * (12.0 * s6 * s6 - 6.0 * s6) / r2s
+        e = jnp.where(inside, e, 0.0)
+        coef = jnp.where(inside, coef, 0.0)
+        for d in range(3):
+            fx[d] = fx[d] + jnp.sum(coef * dx[d], axis=0)
+        e_tot = e_tot + jnp.sum(e)
+        w_tot = w_tot + jnp.sum(coef * r2s * inside)
+
+    force = jnp.stack([f.reshape(-1) for f in fx])
+    return state.replace(
+        f=force,
+        potential_energy=0.5 * e_tot,
+        virial=0.5 * w_tot,
+    )
+
+
+def unpack_positions(state: PackedState, spec: PackedSpec) -> jax.Array:
+    """(N, 3) particle-order positions (host/diagnostics; uses a gather —
+    NOT for the hot loop)."""
+    r = state.r[:, state.slot_of]     # (3, N)
+    return r.T
+
+
+def packed_temperature(state: PackedState, spec: PackedSpec,
+                       mass: float = 1.0) -> jax.Array:
+    valid = (state.pid < spec.n_real).astype(jnp.float32)
+    ke = 0.5 * mass * jnp.sum((state.v * state.v) * valid[None, :])
+    dof = max(3 * spec.n_real - 3, 3)
+    return 2.0 * ke / dof

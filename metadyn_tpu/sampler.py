@@ -3,10 +3,10 @@
 Reference parity: ``IntegratorMetaDynamics::update`` (recalled, SURVEY.md
 §3.1).  The reference's per-step host path (CV eval → D2H scalar copy →
 bias-factor set → GPU force kernels) becomes ONE jitted program: a
-``lax.scan`` over MD steps inside a deposition stride, with the hill deposit
-as the fused tail of each stride chunk (SURVEY.md §7 tenet 1) — no host
-round-trips, no step-time spike at stride boundaries (BASELINE.md
-"hill-deposit latency").
+``lax.scan`` over MD steps inside a deposition stride (with neighbor-list
+rebuild blocks nested inside), and the hill deposit as the fused tail of
+each stride chunk (SURVEY.md §7 tenet 1) — no host round-trips, no
+step-time spike at stride boundaries (BASELINE.md "hill-deposit latency").
 
 Within a stride the bias grid is constant (as in the reference); every MD
 step still re-interpolates ∂V/∂s at the current CV point and applies
@@ -22,6 +22,7 @@ import numpy as np
 from flax import struct
 
 from .core.state import State, System, temperature
+from .core.engine import ForceEngine, EngineAux
 from .cv.base import CollectiveVariable, cv_values
 from .bias.grid import GridSpec, value_and_grad
 from .bias.metad import BiasState, HillSpec, HillRecord, deposit, free_energy
@@ -33,19 +34,36 @@ from .io.hill_log import HillLog
 class SamplerCarry:
     state: State
     bias: BiasState
+    aux: EngineAux
     key: jax.Array
     step: jax.Array  # () i32 global step counter
 
 
+class _CallableEngine(ForceEngine):
+    """Adapter: a plain ``force_fn(state)`` as a rebuild-free engine."""
+
+    def __init__(self, fn: Callable[[State], PairForceResult]):
+        self.fn = fn
+
+    def force(self, state: State, aux: EngineAux) -> PairForceResult:
+        return self.fn(state)
+
+    def init_aux(self, state: State) -> EngineAux:
+        return EngineAux()
+
+    def rebuild(self, state: State, aux: EngineAux) -> EngineAux:
+        return aux
+
+
 def make_biased_force(
-    base_force_fn: Callable[[State], PairForceResult],
+    engine: ForceEngine,
     cvs: Sequence[CollectiveVariable],
     system: System,
 ):
-    """Compose base forces with the metadynamics bias force."""
+    """Compose engine forces with the metadynamics bias force."""
 
-    def force(state: State, bias: BiasState) -> PairForceResult:
-        base = base_force_fn(state)
+    def force(state: State, aux: EngineAux, bias: BiasState) -> PairForceResult:
+        base = engine.force(state, aux)
 
         def stacked(pos):
             return cv_values(cvs, state.replace(pos=pos), system)
@@ -59,23 +77,38 @@ def make_biased_force(
 
 
 def make_stride_chunk(
+    engine: ForceEngine,
     biased_force,
     cvs: Sequence[CollectiveVariable],
     system: System,
     hills: HillSpec,
     integrator_factory: Callable,
 ):
-    """One deposition stride: scan `stride` MD steps, then deposit a hill."""
+    """One deposition stride: nested scan of rebuild blocks × MD steps,
+    then deposit a hill — all fused into the jitted outer scan body."""
+    r = min(engine.rebuild_every, hills.stride)
+    assert hills.stride % r == 0, (
+        f"stride={hills.stride} must be a multiple of rebuild_every={r}")
+    n_blocks = hills.stride // r
 
     def chunk(carry: SamplerCarry, _):
         bias = carry.bias
-        step_fn = integrator_factory(lambda st: biased_force(st, bias))
 
-        def body(state, i):
-            k = jax.random.fold_in(carry.key, carry.step + i)
-            return step_fn(state, k), None
+        def block(c, b):
+            state, aux = c
+            aux = engine.rebuild(state, aux)
+            step_fn = integrator_factory(
+                lambda st: biased_force(st, aux, bias))
 
-        state, _ = jax.lax.scan(body, carry.state, jnp.arange(hills.stride))
+            def body(st, i):
+                k = jax.random.fold_in(carry.key, carry.step + b * r + i)
+                return step_fn(st, k), None
+
+            state, _ = jax.lax.scan(body, state, jnp.arange(r))
+            return (state, aux), None
+
+        (state, aux), _ = jax.lax.scan(
+            block, (carry.state, carry.aux), jnp.arange(n_blocks))
         new_step = carry.step + hills.stride
         s = cv_values(cvs, state, system)
         new_bias, rec = deposit(hills, bias, s, new_step)
@@ -92,8 +125,10 @@ def make_stride_chunk(
             "cv_out_of_grid": jnp.any(
                 (s < new_bias.grid.spec.lo) | (s > new_bias.grid.spec.hi)
             ),
+            "nlist_overflow": aux.overflow,
+            "nlist_stale": aux.stale,
         }
-        return SamplerCarry(state, new_bias, carry.key, new_step), (rec, metrics)
+        return SamplerCarry(state, new_bias, aux, carry.key, new_step), (rec, metrics)
 
     return chunk
 
@@ -104,14 +139,15 @@ class MetadSampler:
     Parameters mirror the reference python API (SURVEY.md §2a): hill height
     ``W``, ``stride``, ``deltaT``/mode via :class:`HillSpec`; per-CV grid
     ranges via :class:`GridSpec`; ``filename``/``overwrite`` via
-    :class:`HillLog`.
+    :class:`HillLog`.  ``engine`` is either a :class:`ForceEngine` (neighbor
+    -list production path) or a plain ``force_fn(state)``.
     """
 
     def __init__(
         self,
         system: System,
         state: State,
-        base_force_fn,
+        engine,
         cvs: Sequence[CollectiveVariable],
         grid_spec: GridSpec,
         hills: HillSpec,
@@ -123,22 +159,27 @@ class MetadSampler:
         chunks_per_block: int = 64,
     ):
         assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
+        if not isinstance(engine, ForceEngine):
+            engine = _CallableEngine(engine)
+        self.engine = engine
         self.system = system
         self.cvs = list(cvs)
         self.hills = hills
         self.grid_spec = grid_spec
-        self.biased_force = make_biased_force(base_force_fn, cvs, system)
+        self.biased_force = make_biased_force(engine, cvs, system)
         bias = initial_bias if initial_bias is not None else BiasState.zeros(grid_spec)
 
-        # prime forces at the initial positions (with any restart bias)
-        res = self.biased_force(state, bias)
+        # prime aux + forces at the initial positions (with any restart bias)
+        aux = engine.init_aux(state)
+        res = self.biased_force(state, aux, bias)
         state = state.replace(force=res.force, potential_energy=res.energy)
 
         self.carry = SamplerCarry(
-            state=state, bias=bias, key=jax.random.PRNGKey(seed), step=jnp.int32(0)
+            state=state, bias=bias, aux=aux,
+            key=jax.random.PRNGKey(seed), step=jnp.int32(0),
         )
         chunk = make_stride_chunk(
-            self.biased_force, cvs, system, hills, integrator_factory)
+            engine, self.biased_force, cvs, system, hills, integrator_factory)
 
         def run_chunks(carry, n):
             return jax.lax.scan(chunk, carry, None, length=n)

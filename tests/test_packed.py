@@ -1,0 +1,137 @@
+"""Packed cell-engine tests: 27-offset roll force vs all-pairs oracle,
+pack/repack slot bookkeeping, and the Pallas kernel in interpret mode."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.ops.packed import (
+    PackedSpec, pack, repack, packed_lj_force, needs_repack,
+    unpack_positions, packed_temperature,
+)
+from metadyn_tpu.ops.pairs import lj_tables, lj_kernel, all_pairs_force
+from metadyn_tpu.utils.lattice import fcc_lattice
+from metadyn_tpu.integrate.packed import make_packed_langevin_step
+
+
+def _fcc_case(ncell=6, a=1.7, r_cut=2.5):
+    pos = fcc_lattice(ncell, a)
+    n = pos.shape[0]
+    L = ncell * a
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=r_cut, skin=0.5)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n))
+    return pos, n, box, spec, st, ovf
+
+
+def test_pack_roundtrip():
+    pos, n, box, spec, st, ovf = _fcc_case()
+    assert not bool(ovf)
+    assert int((st.pid < n).sum()) == n
+    np.testing.assert_allclose(unpack_positions(st, spec), pos, atol=1e-6)
+
+
+def test_packed_force_matches_all_pairs():
+    pos, n, box, spec, st, ovf = _fcc_case()
+    st = packed_lj_force(st, spec)
+    ref = all_pairs_force(jnp.asarray(pos), jnp.zeros(n, jnp.int32), box,
+                          lj_kernel, lj_tables(1, r_cut=2.5), row_block=216)
+    f_p = np.asarray(st.f[:, st.slot_of].T)
+    np.testing.assert_allclose(float(st.potential_energy), float(ref.energy),
+                               rtol=1e-4)
+    np.testing.assert_allclose(f_p, np.asarray(ref.force), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(float(st.virial), float(ref.virial), rtol=1e-4)
+
+
+def test_packed_force_random_config():
+    rng = np.random.default_rng(0)
+    n, L = 400, 12.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    box = Box.cubic(L)
+    # random (Poisson) occupancy has fat tails — give explicit headroom
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.4, cap=16)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n))
+    assert not bool(ovf)
+    st = packed_lj_force(st, spec)
+    ref = all_pairs_force(jnp.asarray(pos), jnp.zeros(n, jnp.int32), box,
+                          lj_kernel, lj_tables(1, r_cut=2.0), row_block=100)
+    np.testing.assert_allclose(float(st.potential_energy), float(ref.energy),
+                               rtol=1e-4)
+
+
+def test_repack_preserves_physics():
+    pos, n, box, spec, st, ovf = _fcc_case()
+    st = packed_lj_force(st, spec)
+    e0 = float(st.potential_energy)
+    # drift positions (wrapped, as the MD loop always does), then repack
+    from metadyn_tpu.integrate.packed import _wrap_packed
+    st2 = _wrap_packed(st.replace(r=st.r + 0.9))
+    assert bool(needs_repack(st2, spec))
+    st3, ovf2 = repack(st2, spec)
+    assert not bool(ovf2)
+    assert int((st3.pid < n).sum()) == n
+    e_drift_repacked = float(packed_lj_force(st3, spec).potential_energy)
+    # uniform drift doesn't change pair distances (after repack restores the
+    # cell-implied minimum image; the un-repacked wrapped state is stale by
+    # design — that's what needs_repack flags)
+    np.testing.assert_allclose(e_drift_repacked, e0, rtol=1e-4)
+    # pid→slot map is consistent
+    up2 = np.asarray(unpack_positions(st3, spec))
+    L = float(box.L[0])
+    # compare per-particle modulo L (wrap conventions differ at exact ±L/2)
+    d = up2 - (pos + 0.9)
+    d -= L * np.round(d / L)
+    np.testing.assert_allclose(d, 0.0, atol=1e-5)
+
+
+def test_packed_pallas_interpret_matches_xla():
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas as pp
+    orig = pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    pp.pl.pallas_call = patched
+    try:
+        pos, n, box, spec, st, ovf = _fcc_case()
+        a = packed_lj_force(st, spec)
+        b = pp.packed_lj_force_pallas(st, spec)
+        np.testing.assert_allclose(float(a.potential_energy),
+                                   float(b.potential_energy), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(float(a.virial), float(b.virial), rtol=1e-4)
+    finally:
+        pp.pl.pallas_call = orig
+
+
+def test_packed_langevin_equilibrates(key):
+    """MD with periodic repacks — without repacks the cell-implied min image
+    goes stale and the run blows up (that failure mode is by design; the
+    engine repacks every rebuild_every steps)."""
+    pos, n, box, spec, st, ovf = _fcc_case(ncell=5, a=1.8)
+    st = packed_lj_force(st, spec)
+    kT = 1.0
+    step = make_packed_langevin_step(
+        lambda s: packed_lj_force(s, spec), dt=0.004, kT=kT, gamma=2.0)
+
+    @jax.jit
+    def run_block(st, key, nsteps=10):
+        def body(s, i):
+            return step(s, jax.random.fold_in(key, i)), None
+        return jax.lax.scan(body, st, jnp.arange(nsteps))[0]
+
+    any_ovf = False
+    for b in range(40):
+        st = run_block(st, jax.random.fold_in(key, b))
+        st, ovf = repack(st, spec)
+        any_ovf = any_ovf or bool(ovf)
+    T = float(packed_temperature(st, spec))
+    assert not any_ovf
+    assert 0.8 < T < 1.25, T
+    assert np.isfinite(float(st.potential_energy))
