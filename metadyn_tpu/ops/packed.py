@@ -147,24 +147,19 @@ def _scatter_rows(cols: list[jax.Array], slot: jax.Array, n_pad: int) -> list[ja
 
     Measured on v5e: element scatters cost ~8 ns/element but row scatters of
     width ≤128 cost ~the same per ROW — batching 16 attributes into one
-    matrix makes the repack ~16× cheaper.  i32 columns ride along bitcast
-    to f32.  Dropped (invalid) rows leave zeros.
+    matrix makes the repack ~16× cheaper.  Integer columns are converted BY
+    VALUE to f32 (exact below 2^24 — pids, images and types all qualify);
+    never bitcast: small-int bit patterns are f32 denormals and the TPU
+    flushes denormals to zero (observed: flaky all-zero pids).  Dropped
+    (invalid) rows leave zeros.
     """
     w = len(cols)
     wpad = ((w + 7) // 8) * 8
-    mats = []
-    for c in cols:
-        mats.append(jax.lax.bitcast_convert_type(c, jnp.float32)
-                    if c.dtype != jnp.float32 else c)
+    mats = [c.astype(jnp.float32) for c in cols]
     mat = jnp.stack(mats + [jnp.zeros_like(mats[0])] * (wpad - w), axis=1)  # (M, Wpad)
     out = jnp.zeros((n_pad + 1, wpad), jnp.float32).at[slot].set(mat, mode="drop")
     out = out[:n_pad]
-    res = []
-    for i, c in enumerate(cols):
-        col = out[:, i]
-        res.append(jax.lax.bitcast_convert_type(col, c.dtype)
-                   if c.dtype != jnp.float32 else col)
-    return res
+    return [out[:, i].astype(c.dtype) for i, c in enumerate(cols)]
 
 
 def pack(
@@ -252,6 +247,111 @@ def repack(state: PackedState, spec: PackedSpec) -> tuple[PackedState, jax.Array
         ref_r=r,
         pid=pid,
         typ=jnp.where(valid, out[13], sentinel_typ),
+        slot_of=slot_of,
+        attrs=dict(zip(attr_names, out[14:])),
+    ), overflow
+
+
+def _cell_coords_static(spec: PackedSpec):
+    """Static per-cell 3-D coordinates of each linear cell id, (3, C)."""
+    cx, cy, cz = spec.cells_per_dim
+    ix, iy, iz = np.unravel_index(np.arange(spec.n_cells), (cx, cy, cz))
+    return np.stack([ix, iy, iz]).astype(np.int32)
+
+
+def repack_incremental(state: PackedState, spec: PackedSpec
+                       ) -> tuple[PackedState, jax.Array]:
+    """Sort-free rebuild (the production path).
+
+    Measured on v5e: XLA's 1-D sort costs ~10 ms at 88k slots — it dominated
+    the sort-based :func:`repack`.  Between rebuilds a particle moves at most
+    one cell (guaranteed by the half-skin criterion for any sane skin), so
+    the new slot assignment decomposes over the 27 cell offsets into pure
+    rolls + cumsums:
+
+      rank(p) = Σ_{o'<o} arrivals_{o'}(c+o)  +  rank of p among the
+                particles leaving its old column via the same offset o,
+
+    where ``arrivals_o`` is a per-cell count (a (C,) reduction rolled by o).
+    Deterministic (ordered by (offset, old slot)); zero sorts, zero gathers.
+    A particle that moved >1 cell is dropped and flagged (the MD loop's
+    skin check fires first in any physical run).
+
+    Returns (state, bad) where bad = capacity overflow OR lost particle.
+    """
+    valid = state.pid < spec.n_real
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    dims = (cx, cy, cz)
+    cpd = np.asarray(dims, np.int32)
+    old_coords = _cell_coords_static(spec)                  # (3, C) static
+
+    # new cell coords per slot from positions, (3, Npad)
+    new_c = []
+    for d in range(3):
+        frac = state.r[d] / state.box.L[d] + 0.5
+        c = jnp.clip(jnp.floor(frac * cpd[d]).astype(jnp.int32), 0, cpd[d] - 1)
+        new_c.append(c.reshape(cap, C))
+
+    view3 = lambda a: a.reshape(*dims)
+    roll3 = lambda a, o: jnp.roll(view3(a), shift=o, axis=(0, 1, 2)).reshape(C)
+
+    valid2 = valid.reshape(cap, C)
+    slot_new = jnp.full((cap, C), spec.n_pad, jnp.int32)
+    matched = jnp.zeros((cap, C), bool)
+    base = jnp.zeros((C,), jnp.int32)   # arrivals so far per DESTINATION cell
+    rank_new = jnp.zeros((cap, C), jnp.int32)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                o = (ox, oy, oz)
+                m = valid2
+                for d, od in enumerate(o):
+                    tgt = (old_coords[d] + od) % dims[d]     # (C,) static np
+                    m = m & (new_c[d] == jnp.asarray(tgt)[None, :])
+                # rank within the (offset, source-column) group
+                grp_rank = jnp.cumsum(m, axis=0, dtype=jnp.int32) - m
+                # base offset: arrivals from earlier offsets at my destination
+                # = base(c+o), brought to the source frame by rolling by -o
+                base_src = roll3(base, (-ox, -oy, -oz))[None, :]
+                r_new = base_src + grp_rank
+                # destination linear cell, static per source cell
+                dest_lin = (
+                    ((old_coords[0] + ox) % cx) * cy
+                    + (old_coords[1] + oy) % cy
+                ) * cz + (old_coords[2] + oz) % cz
+                s = r_new * C + jnp.asarray(dest_lin.astype(np.int32))[None, :]
+                ok = m & (r_new < cap)
+                slot_new = jnp.where(ok, s, slot_new)
+                matched = matched | m
+                # arrivals via this offset, destination-indexed
+                col_cnt = jnp.sum(m, axis=0, dtype=jnp.int32)     # per source
+                base = base + roll3(col_cnt, o)
+    lost = jnp.any(valid2 & ~matched)
+    overflow = jnp.any(base > cap) | lost
+    slot = slot_new.reshape(-1)
+
+    attr_names = sorted(state.attrs.keys())
+    cols = (
+        [state.r[d] for d in range(3)] + [state.v[d] for d in range(3)]
+        + [state.f[d] for d in range(3)] + [state.image[d] for d in range(3)]
+        + [jnp.where(valid, state.pid + 1, 0), state.typ]
+        + [state.attrs[k] for k in attr_names]
+    )
+    out = _scatter_rows(cols, slot, spec.n_pad)
+    r = jnp.stack(out[0:3])
+    pid1 = out[12]
+    valid_new = pid1 > 0
+    slot_of = jnp.zeros(spec.n_real, jnp.int32).at[state.pid].set(
+        slot, mode="drop")
+    return state.replace(
+        r=r,
+        v=jnp.stack(out[3:6]),
+        f=jnp.stack(out[6:9]),
+        image=jnp.stack(out[9:12]),
+        ref_r=r,
+        pid=jnp.where(valid_new, pid1 - 1, jnp.int32(spec.n_real)),
+        typ=jnp.where(valid_new, out[13], jnp.max(state.typ)),
         slot_of=slot_of,
         attrs=dict(zip(attr_names, out[14:])),
     ), overflow
