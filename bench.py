@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Headline benchmark: MD particle-steps/sec/chip at 64k particles with a
+2-CV well-tempered grid bias (BASELINE.json:2,5; target ≥ 50M).
+
+Config-3 shaped run (BASELINE.json:9): 64k LJ fluid, Langevin NVT, two
+collective variables on a 2-D well-tempered bias grid, packed cell engine
+with the Pallas pair-force kernel, everything fused into stride chunks.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.state import make_system
+from metadyn_tpu.core.packed_engine import PackedEngine
+from metadyn_tpu.ops.packed import PackedSpec
+from metadyn_tpu.integrate.packed import make_packed_langevin_step
+from metadyn_tpu.cv.packed import PackedLamellar
+from metadyn_tpu.bias.grid import GridSpec
+from metadyn_tpu.bias.metad import HillSpec, WallSpec, WELL_TEMPERED
+from metadyn_tpu.sampler import MetadSampler
+from metadyn_tpu.utils.lattice import fcc_lattice
+
+BASELINE = 50e6  # particle-steps/sec/chip north star (BASELINE.md)
+
+
+def main():
+    rho = 0.8
+    a = (4.0 / rho) ** (1.0 / 3.0)
+    n_cells = 25                       # 62500 ≈ 64k particles
+    pos = fcc_lattice(n_cells, a)
+    n = pos.shape[0]
+    L = n_cells * a
+    box = Box.cubic(L)
+    kT = 1.0
+
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False)
+    # 10-step cadence keeps the fastest thermal particles inside half-skin
+    engine = PackedEngine(spec, rebuild_every=10)
+    system = make_system(n)
+
+    cv1 = PackedLamellar.create([[0, 0, 3]], n_real=n, name="a")
+    cv2 = PackedLamellar.create([[0, 3, 0]], n_real=n, name="b")
+    amps = np.ones(n, np.float32)
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0.0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    state, overflow = engine.pack_state(
+        pos, box, jnp.zeros(n, jnp.int32),
+        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=vel,
+        extra_attrs={cv1.attr_name: amps, cv2.attr_name: amps},
+    )
+    assert not bool(overflow), "cell capacity overflow at pack"
+
+    stride = 500
+    sampler = MetadSampler(
+        system, state, engine, cvs=[cv1, cv2],
+        # CV range bounds the bias-induced density modulation so cell
+        # occupancy stays within capacity (the bias *drives* lamellar
+        # ordering — that's its job)
+        grid_spec=GridSpec.create([-0.06, -0.06], [0.06, 0.06], [64, 64],
+                                  [0.004, 0.004]),
+        hills=HillSpec.create(W=0.1, stride=stride, mode=WELL_TEMPERED,
+                              deltaT=5.0),
+        integrator_factory=lambda f: make_packed_langevin_step(
+            f, dt=0.005, kT=kT, gamma=1.0),
+        seed=0,
+        chunks_per_block=4,
+        walls=WallSpec.at_grid_edges(GridSpec.create(
+            [-0.06, -0.06], [0.06, 0.06], [64, 64], [0.004, 0.004]), k=2000.0),
+    )
+
+    # warm-up: compile + equilibrate one block
+    sampler.run(stride * 4)
+    # measure
+    n_meas = stride * 8
+    t0 = time.time()
+    hist = sampler.run(n_meas)
+    dt = time.time() - t0
+    rate = n * n_meas / dt
+
+    m = hist[-1]
+    ok = (np.isfinite(m["potential_energy"]) and np.isfinite(m["cv"]).all()
+          and not bool(m["nlist_overflow"]))
+    if bool(m["nlist_stale"]):
+        print("warning: half-skin violation occurred during the run",
+              file=sys.stderr)
+    if not ok:
+        print(json.dumps({"metric": "particle_steps_per_sec_per_chip",
+                          "value": 0.0, "unit": "steps/s",
+                          "vs_baseline": 0.0, "error": "run invalid"}))
+        return 1
+    print(json.dumps({
+        "metric": "particle_steps_per_sec_per_chip",
+        "value": round(rate, 0),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / BASELINE, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

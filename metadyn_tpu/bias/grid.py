@@ -104,13 +104,13 @@ def _hill_factors(spec: GridSpec, s: jax.Array):
     return gs, hs
 
 
-def deposit_hill(grid: BiasGrid, s: jax.Array, height: jax.Array) -> BiasGrid:
-    """Add one Gaussian hill of the given height centred at s to the grid.
+def hill_field(spec: GridSpec, s: jax.Array, height: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
+    """Full-grid (ΔV, ΔdV) contribution of one Gaussian hill at s.
 
-    The full-grid update the reference does per stride (SURVEY.md §3.1
-    ``V[g] += W'·exp(...)``), fused into one elementwise op.
-    """
-    spec = grid.spec
+    Split out of :func:`deposit_hill` so multi-walker metadynamics can psum
+    the per-walker fields over the walker mesh axis before applying them
+    (the reference's MPI_Allreduce of the grid delta, SURVEY.md §3.1)."""
     gs, hs = _hill_factors(spec, s)
     # outer product of per-dim factors via broadcasting
     hill = height
@@ -118,12 +118,22 @@ def deposit_hill(grid: BiasGrid, s: jax.Array, height: jax.Array) -> BiasGrid:
         sh = [1] * spec.ndim
         sh[d] = -1
         hill = hill * g.reshape(sh)
-    dV_new = []
+    dV = []
     for d in range(spec.ndim):
         sh = [1] * spec.ndim
         sh[d] = -1
-        dV_new.append(grid.dV[d] + hill * hs[d].reshape(sh))
-    return grid.replace(V=grid.V + hill, dV=jnp.stack(dV_new))
+        dV.append(hill * hs[d].reshape(sh))
+    return hill, jnp.stack(dV)
+
+
+def deposit_hill(grid: BiasGrid, s: jax.Array, height: jax.Array) -> BiasGrid:
+    """Add one Gaussian hill of the given height centred at s to the grid.
+
+    The full-grid update the reference does per stride (SURVEY.md §3.1
+    ``V[g] += W'·exp(...)``), fused into one elementwise op.
+    """
+    dV_hill, ddV = hill_field(grid.spec, s, height)
+    return grid.replace(V=grid.V + dV_hill, dV=grid.dV + ddV)
 
 
 def _interp_weights(spec: GridSpec, s: jax.Array):

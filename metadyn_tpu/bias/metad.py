@@ -45,6 +45,40 @@ class HillSpec:
 
 
 @struct.dataclass
+class WallSpec:
+    """Harmonic CV walls at/inside the grid edges.
+
+    The reference integrator requires the CV to stay inside the registered
+    grid (it warns/aborts otherwise — SURVEY.md §3.1); PLUMED's standard
+    practice is UPPER_WALLS/LOWER_WALLS restraints.  Without a wall the
+    outermost hills push the CV outward indefinitely once it leaves the
+    grid (no bias can build beyond the edge), which in an ordering CV
+    drives unbounded density modulation.
+
+    u_wall(s) = k·(s − hi)² for s > hi, k·(lo − s)² for s < lo.
+    """
+
+    k: jax.Array    # (d,) spring constants
+    lo: jax.Array   # (d,)
+    hi: jax.Array   # (d,)
+
+    @classmethod
+    def at_grid_edges(cls, grid_spec, k: float = 1000.0,
+                      margin_frac: float = 0.05) -> "WallSpec":
+        span = grid_spec.hi - grid_spec.lo
+        m = margin_frac * span
+        return cls(k=jnp.full_like(grid_spec.lo, k),
+                   lo=grid_spec.lo + m, hi=grid_spec.hi - m)
+
+    def energy_and_grad(self, s: jax.Array) -> tuple[jax.Array, jax.Array]:
+        over = jnp.maximum(s - self.hi, 0.0)
+        under = jnp.maximum(self.lo - s, 0.0)
+        e = jnp.sum(self.k * (over * over + under * under))
+        g = 2.0 * self.k * (over - under)
+        return e, g
+
+
+@struct.dataclass
 class BiasState:
     """Carried through the jitted loop alongside the MD state."""
 

@@ -3,11 +3,23 @@
 The reference separates ``ForceCompute`` (per-step) from ``NeighborList``
 (rebuilt on demand via a distance check, SURVEY.md §2b).  On TPU a
 data-dependent rebuild inside ``lax.scan`` would force a host sync or a
-both-branches ``cond``, so the engine instead rebuilds on a **fixed
-cadence** (``rebuild_every`` steps, SURVEY.md §7 hard part 1): the skin is
-sized so that half-skin violations within a block are rare, and an actual
-violation (tracked via the displacement check) raises an overflow metric
-rather than silently corrupting forces.
+both-branches ``cond``, so engines rebuild on a **fixed cadence**
+(``rebuild_every`` steps, SURVEY.md §7 hard part 1): the skin is sized so
+half-skin violations within a block are rare, and an actual violation is
+surfaced as a staleness metric rather than silently corrupting forces.
+
+Engine protocol (uniform across the particle-order engines here and the
+packed hot-path engine in packed_engine.py):
+
+- ``init(state) -> (state, aux)``       — build aux, compute initial forces
+- ``rebuild(state, aux) -> (state, aux)`` — refresh neighbor structures
+  (the packed engine migrates slots, hence state may change)
+- ``force_into(state, aux, extra_force=None) -> state`` — evaluate forces
+  (+ an optional additive external/bias force) and store force, potential
+  energy and virial in the state
+- ``positions(state)`` / ``with_positions(state, r)`` — the differentiable
+  position leaf (used by the CV vjp chain rule)
+- ``metrics(state) -> dict`` — temperature, potential energy, …
 """
 from __future__ import annotations
 
@@ -17,7 +29,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .state import State, System
+from .state import State, System, temperature
 from .box import Box
 from ..ops.pairs import PairKernel, PairParams, PairForceResult, all_pairs_force
 from ..ops import bonds as bond_ops
@@ -38,7 +50,7 @@ class EngineAux:
 
 
 class ForceEngine:
-    """Base: composition of bond/external terms shared by both engines."""
+    """Base for particle-order engines: bond/external composition + protocol."""
 
     rebuild_every: int = 10**9  # all-pairs: never
 
@@ -47,6 +59,38 @@ class ForceEngine:
         self.harmonic = harmonic
         self.fene = fene
         self.external = external
+
+    # --- protocol ---------------------------------------------------------
+    def init(self, state: State):
+        aux = self._make_aux(state)
+        return self.force_into(state, aux), aux
+
+    def rebuild(self, state: State, aux: EngineAux):
+        return state, aux
+
+    def force_into(self, state: State, aux: EngineAux,
+                   extra_force: Optional[jax.Array] = None) -> State:
+        res = self._net_force(state, aux)
+        f = res.force if extra_force is None else res.force + extra_force
+        return state.replace(force=f, potential_energy=res.energy)
+
+    def positions(self, state: State) -> jax.Array:
+        return state.pos
+
+    def with_positions(self, state: State, r: jax.Array) -> State:
+        return state.replace(pos=r)
+
+    def metrics(self, state: State, aux: EngineAux) -> dict:
+        return {
+            "temperature": temperature(state, self.system),
+            "potential_energy": state.potential_energy,
+            "nlist_overflow": aux.overflow,
+            "nlist_stale": aux.stale,
+        }
+
+    # --- internals --------------------------------------------------------
+    def _make_aux(self, state: State) -> EngineAux:
+        return EngineAux()
 
     def _common(self, state: State) -> PairForceResult:
         e = jnp.float32(0.0)
@@ -68,14 +112,8 @@ class ForceEngine:
             e, f = e + e_ext, f - g
         return PairForceResult(e, f, w)
 
-    def init_aux(self, state: State) -> EngineAux:
-        return EngineAux()
-
-    def rebuild(self, state: State, aux: EngineAux) -> EngineAux:
-        return aux
-
-    def force(self, state: State, aux: EngineAux) -> PairForceResult:
-        raise NotImplementedError
+    def _net_force(self, state: State, aux: EngineAux) -> PairForceResult:
+        return self._common(state)
 
 
 class AllPairsEngine(ForceEngine):
@@ -89,7 +127,7 @@ class AllPairsEngine(ForceEngine):
         self.pair_kernel = pair_kernel
         self.row_block = row_block
 
-    def force(self, state: State, aux: EngineAux) -> PairForceResult:
+    def _net_force(self, state: State, aux: EngineAux) -> PairForceResult:
         res = self._common(state)
         if self.pair_params is not None:
             r = all_pairs_force(state.pos, self.system.types, state.box,
@@ -100,7 +138,8 @@ class AllPairsEngine(ForceEngine):
 
 
 class NeighborEngine(ForceEngine):
-    """Cell-list neighbor engine — the production path (SURVEY.md §7 P4)."""
+    """Particle-order cell-list engine (gather-based; CPU/medium systems —
+    the TPU hot path is packed_engine.PackedEngine)."""
 
     def __init__(self, system: System, cell_spec: CellSpec,
                  pair_params: PairParams, pair_kernel: PairKernel,
@@ -114,22 +153,22 @@ class NeighborEngine(ForceEngine):
         self.rebuild_every = rebuild_every
         self.exclusions = exclusions
 
-    def init_aux(self, state: State) -> EngineAux:
+    def _make_aux(self, state: State) -> EngineAux:
         nbr = build_neighbor_list(state.pos, state.box, self.cell_spec,
                                   self.exclusions)
         return EngineAux(nbr=nbr, overflow=nbr.overflow,
                          stale=jnp.asarray(False))
 
-    def rebuild(self, state: State, aux: EngineAux) -> EngineAux:
+    def rebuild(self, state: State, aux: EngineAux):
         # record a half-skin violation BEFORE rebuilding: it means some steps
         # in the previous block ran with a stale list
         stale = aux.stale | needs_rebuild(aux.nbr, state.pos, state.box)
         nbr = build_neighbor_list(state.pos, state.box, self.cell_spec,
                                   self.exclusions)
-        return EngineAux(nbr=nbr, overflow=aux.overflow | nbr.overflow,
-                         stale=stale)
+        return state, EngineAux(nbr=nbr, overflow=aux.overflow | nbr.overflow,
+                                stale=stale)
 
-    def force(self, state: State, aux: EngineAux) -> PairForceResult:
+    def _net_force(self, state: State, aux: EngineAux) -> PairForceResult:
         res = self._common(state)
         r = neighbor_pair_force(state.pos, self.system.types, state.box,
                                 aux.nbr, self.pair_kernel, self.pair_params)
@@ -138,15 +177,15 @@ class NeighborEngine(ForceEngine):
 
 
 def run_md_blocks(
-    engine: ForceEngine,
+    engine,
     step_factory: Callable,
-    state: State,
-    aux: EngineAux,
+    state,
+    aux,
     key: jax.Array,
     n_steps: int,
     start_step: jax.Array | int = 0,
-) -> tuple[State, EngineAux]:
-    """Run n_steps with periodic neighbor rebuilds, fully on device.
+):
+    """Run n_steps with periodic rebuilds, fully on device.
 
     Structure: scan over blocks of ``rebuild_every`` steps, rebuilding at
     each block head (static shapes, no host sync; SURVEY.md §7 tenet 1).
@@ -158,8 +197,8 @@ def run_md_blocks(
 
     def block(carry, b):
         state, aux = carry
-        aux = engine.rebuild(state, aux)
-        step = step_factory(lambda st: engine.force(st, aux))
+        state, aux = engine.rebuild(state, aux)
+        step = step_factory(lambda st: engine.force_into(st, aux))
 
         def body(st, i):
             return step(st, jax.random.fold_in(key, start_step + b * r + i)), None

@@ -33,7 +33,18 @@ class ForceField:
     external: Optional[Callable] = struct.field(pytree_node=False, default=None)
     row_block: int = struct.field(pytree_node=False, default=1024)
 
-    def bind(self, system: System) -> ForceFn:
+    def bind(self, system: System) -> Callable[[State], State]:
+        """Apply-style closure: evaluates all terms and writes force/energy
+        into the state (the integrator-facing convention)."""
+        raw = self.bind_raw(system)
+
+        def force_apply(state: State) -> State:
+            res = raw(state)
+            return state.replace(force=res.force, potential_energy=res.energy)
+
+        return force_apply
+
+    def bind_raw(self, system: System) -> ForceFn:
         def force_fn(state: State) -> PairForceResult:
             e = jnp.float32(0.0)
             f = jnp.zeros_like(state.pos)

@@ -1,0 +1,99 @@
+"""PackedEngine — the TPU hot-path engine over the slot-layout state.
+
+Implements the engine protocol of core/engine.py on top of ops/packed.py
+(+ the Pallas force kernel).  This is the production engine for the
+baseline perf configs (BASELINE.md Configs 2–5); the particle-order
+engines remain the small-system / CPU-oracle path.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .box import Box
+from .state import System
+from ..ops.packed import (
+    PackedSpec, PackedState, pack, repack, repack_incremental,
+    packed_lj_force, packed_temperature, needs_repack, unpack_positions,
+)
+from ..ops.packed_pallas import packed_lj_force_pallas
+
+
+@struct.dataclass
+class PackedAux:
+    overflow: jax.Array = struct.field(default_factory=lambda: jnp.asarray(False))
+    stale: jax.Array = struct.field(default_factory=lambda: jnp.asarray(False))
+
+
+class PackedEngine:
+    """LJ (Lorentz–Berthelot) pair forces on the packed cell layout.
+
+    Slot migration is DISTANCE-TRIGGERED like HOOMD's neighbor list: every
+    ``rebuild_every`` (default 1) steps the half-skin displacement check
+    runs on device and a ``lax.cond`` executes the incremental repack only
+    when needed.  A fixed cadence is NOT safe: the thermal velocity tail
+    routinely breaks any affordable skin margin, pairs get missed, and the
+    resulting overlaps inject energy in a runaway feedback (observed at
+    64k: vmax creep 5 → 40 → explosion within 500 steps)."""
+
+    def __init__(self, spec: PackedSpec, rebuild_every: int = 1,
+                 use_pallas: Optional[bool] = None, mass: float = 1.0):
+        self.spec = spec
+        self.rebuild_every = rebuild_every
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self._force = packed_lj_force_pallas if use_pallas else packed_lj_force
+        self.mass = mass
+
+    # --- construction -----------------------------------------------------
+    def pack_state(self, pos, box: Box, types, eps_i, sigma_i, vel=None,
+                   image=None, extra_attrs=None):
+        """Initial (sorted) pack from particle-order arrays."""
+        state, overflow = pack(pos, box, self.spec, types, eps_i, sigma_i,
+                               vel=vel, image=image, extra_attrs=extra_attrs)
+        return state, overflow
+
+    # --- protocol ---------------------------------------------------------
+    def init(self, state: PackedState):
+        aux = PackedAux()
+        return self.force_into(state, aux), aux
+
+    def rebuild(self, state: PackedState, aux: PackedAux):
+        need = needs_repack(state, self.spec)
+
+        def do(st):
+            return repack_incremental(st, self.spec)
+
+        def dont(st):
+            return st, jnp.asarray(False)
+
+        # forces travel with the slots in the repack columns, so no force
+        # recomputation is needed after a migration
+        state, bad = jax.lax.cond(need, do, dont, state)
+        return state, PackedAux(overflow=aux.overflow | bad, stale=aux.stale)
+
+    def force_into(self, state: PackedState, aux: PackedAux,
+                   extra_force: Optional[jax.Array] = None) -> PackedState:
+        state = self._force(state, self.spec)
+        if extra_force is not None:
+            state = state.replace(f=state.f + extra_force)
+        return state
+
+    def positions(self, state: PackedState) -> jax.Array:
+        return state.r
+
+    def with_positions(self, state: PackedState, r: jax.Array) -> PackedState:
+        return state.replace(r=r)
+
+    def metrics(self, state: PackedState, aux: PackedAux) -> dict:
+        return {
+            "temperature": packed_temperature(state, self.spec, self.mass),
+            "potential_energy": state.potential_energy,
+            "nlist_overflow": aux.overflow,
+            "nlist_stale": aux.stale,
+        }

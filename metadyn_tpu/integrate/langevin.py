@@ -8,8 +8,14 @@ is equivalent — BAOAB has superior configurational accuracy at large dt
 
 Noise uses jax.random (Threefry) with one fold per (step, use) — the
 counter-based analog of HOOMD's per-particle Saru stream (SURVEY.md §2b).
+
+Integrators consume an *apply-style* force function
+``force_apply(state) -> state`` (forces/energy written into the state) so
+the same factories serve every engine family.
 """
 from __future__ import annotations
+
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -18,9 +24,12 @@ from ..core.box import wrap
 from ..core.state import State, System
 from .base import StepFn
 
+ForceApply = Callable[[State], State]
+
 
 def make_langevin_step(
-    force_fn, system: System, dt: float, kT: float, gamma: float = 1.0
+    force_apply: ForceApply, system: System, dt: float, kT: float,
+    gamma: float = 1.0,
 ) -> StepFn:
     """BAOAB Langevin step: B(dt/2) A(dt/2) O(dt) A(dt/2) [forces] B(dt/2)."""
     mass = system.mass[:, None]
@@ -34,16 +43,13 @@ def make_langevin_step(
         v = c1 * v + c2 * jnp.sqrt(kT / mass) * noise           # O
         x = x + 0.5 * dt * v                                    # A
         x, shift = wrap(x, state.box)
-        image = state.image + shift
-        new = state.replace(pos=x, image=image)
-        res = force_fn(new)
-        v = v + 0.5 * dt * res.force / mass                     # B
-        return new.replace(vel=v, force=res.force, potential_energy=res.energy)
+        new = force_apply(state.replace(pos=x, image=state.image + shift))
+        return new.replace(vel=v + 0.5 * dt * new.force / mass)
 
     return step
 
 
-def make_nve_step(force_fn, system: System, dt: float) -> StepFn:
+def make_nve_step(force_apply: ForceApply, system: System, dt: float) -> StepFn:
     """Velocity Verlet (NVE) — the HOOMD two-step scheme in one fused fn."""
     mass = system.mass[:, None]
 
@@ -51,9 +57,7 @@ def make_nve_step(force_fn, system: System, dt: float) -> StepFn:
         v_half = state.vel + 0.5 * dt * state.force / mass
         x = state.pos + dt * v_half
         x, shift = wrap(x, state.box)
-        new = state.replace(pos=x, image=state.image + shift)
-        res = force_fn(new)
-        v = v_half + 0.5 * dt * res.force / mass
-        return new.replace(vel=v, force=res.force, potential_energy=res.energy)
+        new = force_apply(state.replace(pos=x, image=state.image + shift))
+        return new.replace(vel=v_half + 0.5 * dt * new.force / mass)
 
     return step

@@ -26,6 +26,14 @@ def _wrap_packed(state: PackedState) -> PackedState:
     )
 
 
+# NOTE: packed integrators do NOT wrap per step.  Wrapping teleports a
+# coordinate by ±L while the slot cell still implies the old side, making
+# the particle a ghost to every neighbor until the next repack (observed:
+# rare deep pair overlaps at the box faces → explosions).  Positions drift
+# continuously (≤ half-skin outside the box at most) and ops/packed.repack*
+# wraps atomically with the slot migration.
+
+
 def make_packed_langevin_step(
     force_fn: Callable[[PackedState], PackedState],
     dt: float, kT: float, gamma: float = 1.0, mass: float = 1.0,
@@ -40,8 +48,7 @@ def make_packed_langevin_step(
         noise = jax.random.normal(key, v.shape, v.dtype)
         v = c1 * v + c2 * noise
         r = r + 0.5 * dt * v
-        state = _wrap_packed(state.replace(r=r))
-        state = force_fn(state)
+        state = force_fn(state.replace(r=r))
         return state.replace(v=v + (0.5 * dt / mass) * state.f)
 
     return step
@@ -53,8 +60,7 @@ def make_packed_nve_step(
 ) -> PackedStepFn:
     def step(state: PackedState, key: jax.Array) -> PackedState:
         v_half = state.v + (0.5 * dt / mass) * state.f
-        state = _wrap_packed(state.replace(r=state.r + dt * v_half))
-        state = force_fn(state)
+        state = force_fn(state.replace(r=state.r + dt * v_half))
         return state.replace(v=v_half + (0.5 * dt / mass) * state.f)
 
     return step

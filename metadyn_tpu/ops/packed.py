@@ -137,6 +137,20 @@ def _slot_assignment(cid: jax.Array, valid: jax.Array, spec: PackedSpec):
     return slot, overflow
 
 
+def _wrap_state(state: PackedState) -> PackedState:
+    """Wrap coordinates into the box, updating image counters.
+
+    Called ONLY inside pack/repack: between repacks coordinates drift
+    continuously (a per-step wrap would teleport a coordinate by ±L while
+    the slot cell still implies the old side — see integrate/packed.py)."""
+    L = state.box.L[:, None]
+    shift = jnp.floor(state.r / L + 0.5)
+    return state.replace(
+        r=state.r - L * shift,
+        image=state.image + shift.astype(jnp.int32),
+    )
+
+
 def _scatter(x: jax.Array, slot: jax.Array, n_pad: int, fill) -> jax.Array:
     out = jnp.full((n_pad + 1,), fill, x.dtype)
     return out.at[slot].set(x, mode="drop")[:n_pad]
@@ -180,6 +194,10 @@ def pack(
             else jnp.asarray(vel, jnp.float32).T)
     im_in = (jnp.zeros((3, n), jnp.int32) if image is None
              else jnp.asarray(image, jnp.int32).T)
+    # wrap into the box (image counters track the shift)
+    shift_in = jnp.floor(r_in / box.L[:, None] + 0.5)
+    r_in = r_in - box.L[:, None] * shift_in
+    im_in = im_in + shift_in.astype(jnp.int32)
     cid = _cell_id_packed(r_in, box, spec)
     slot, overflow = _slot_assignment(cid, jnp.ones(n, bool), spec)
     npad = spec.n_pad
@@ -219,6 +237,7 @@ def pack(
 
 def repack(state: PackedState, spec: PackedSpec) -> tuple[PackedState, jax.Array]:
     """Rebuild: migrate slots to current cells.  Returns (state, overflow)."""
+    state = _wrap_state(state)
     valid_in = state.pid < spec.n_real
     cid = _cell_id_packed(state.r, state.box, spec)
     slot, overflow = _slot_assignment(cid, valid_in, spec)
@@ -279,6 +298,7 @@ def repack_incremental(state: PackedState, spec: PackedSpec
 
     Returns (state, bad) where bad = capacity overflow OR lost particle.
     """
+    state = _wrap_state(state)
     valid = state.pid < spec.n_real
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim

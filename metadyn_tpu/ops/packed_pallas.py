@@ -63,8 +63,8 @@ def _rolled_stacks(state: PackedState, spec: PackedSpec):
 def _kernel(xi, yi, zi, se, hs,
             xj, yj, zj, sej, hsj,
             fx, fy, fz, ew, *, cap: int, rc2: float, shift_energy: bool):
-    o = pl.program_id(0)
-    ct = pl.program_id(1)
+    ct = pl.program_id(0)
+    o = pl.program_id(1)
 
     @pl.when(o == 0)
     def _init():
@@ -147,9 +147,11 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     # pad cap to a multiple of 8 (sublane slabs) and tile C so the unrolled
     # slab temporaries fit the 16 MB scoped-VMEM budget
     cap8 = ((cap + 7) // 8) * 8
-    n_ct = max(1, -(-C // 2048))
-    CT = -(-C // n_ct)
-    CT = ((CT + 127) // 128) * 128
+    # C-tile size bounded so the unrolled slab temporaries fit the 16 MB
+    # scoped-VMEM stack (~90 live (cap8, CT) f32 temps, empirically)
+    ct_budget = max(128, (12 * 2**20) // (90 * 4 * cap8) // 128 * 128)
+    n_ct = max(1, -(-C // ct_budget))
+    CT = ((-(-C // n_ct) + 127) // 128) * 128
     Cpad = n_ct * CT
 
     def pad(a, cap_axis, c_axis):
@@ -165,22 +167,26 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     se = pad(state.attrs["se"].reshape(cap, C), 0, 1)
     hs = pad(state.attrs["hs"].reshape(cap, C), 0, 1)
 
-    const_spec = pl.BlockSpec((cap8, CT), lambda o, ct: (0, ct),
+    # grid order (ct, o): the offset axis is INNERMOST so the revisited
+    # force-accumulator blocks are revisited on consecutive grid steps —
+    # non-consecutive revisits race the block write-back against the next
+    # prefetch (observed: wrong forces whenever n_ct > 2)
+    const_spec = pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct),
                               memory_space=pltpu.VMEM)
-    slab_spec = pl.BlockSpec((1, cap8, CT), lambda o, ct: (o, 0, ct),
+    slab_spec = pl.BlockSpec((1, cap8, CT), lambda ct, o: (o, 0, ct),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(
         _kernel, cap=cap8, rc2=float(spec.r_cut) ** 2,
         shift_energy=spec.shift_energy)
     fx, fy, fz, ew = pl.pallas_call(
         kern,
-        grid=(27, n_ct),
+        grid=(n_ct, 27),
         in_specs=[const_spec] * 5 + [slab_spec] * 5,
         out_specs=[
-            pl.BlockSpec((cap8, CT), lambda o, ct: (0, ct), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap8, CT), lambda o, ct: (0, ct), memory_space=pltpu.VMEM),
-            pl.BlockSpec((cap8, CT), lambda o, ct: (0, ct), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 128), lambda o, ct: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128), lambda ct, o: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((cap8, Cpad), jnp.float32),

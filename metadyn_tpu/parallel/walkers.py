@@ -1,0 +1,177 @@
+"""Multiple-walker metadynamics: replicas sharded over a device mesh.
+
+Reference parity: HOOMD MPI partitions (``--nrank``) running independent
+replicas that share ONE bias grid, allreduced at every deposition stride
+(SURVEY.md §2b, §3.1 "multiple walkers: MPI_Allreduce(grid delta)").
+
+TPU-native re-design (BASELINE.json:10, SURVEY.md §7 P6): one walker per
+chip on a ``Mesh`` axis ``"walkers"``; the whole stride chunk (MD scan +
+CV + hill field) runs under ``shard_map``; the grid delta is a single
+``psum`` over the walker axis riding ICI.  Each walker computes its
+well-tempered hill height against the *pre-stride* grid — exactly the
+reference's partition semantics — then all deltas are applied at once.
+
+The PRNG key is folded per (walker, step): walker streams are independent
+and bitwise reproducible regardless of mesh size (SURVEY.md §7 hard
+part 5).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.state import System
+from ..bias.grid import GridSpec, hill_field, value_and_grad
+from ..bias.metad import BiasState, HillSpec, hill_height
+from ..sampler import cv_stack, make_biased_force, _CallableEngine
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    if hasattr(jax, "shard_map"):
+        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs)
+    from jax.experimental.shard_map import shard_map as sm
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+
+def make_walker_chunk(
+    engine,
+    cvs,
+    system: System,
+    hills: HillSpec,
+    integrator_factory: Callable,
+    axis: str = "walkers",
+    walls=None,
+):
+    """Per-walker stride chunk (runs inside shard_map on ONE walker).
+
+    carry = (state, aux, key, step), bias replicated.  Returns the updated
+    per-walker carry, the synchronized bias, and this walker's hill record.
+    """
+    biased_force = make_biased_force(engine, cvs, system, walls)
+    r = min(engine.rebuild_every, hills.stride)
+    assert hills.stride % r == 0
+    n_blocks = hills.stride // r
+
+    def chunk(state, aux, key, step, bias: BiasState):
+        def block(c, b):
+            st, ax = c
+            st, ax = engine.rebuild(st, ax)
+            step_fn = integrator_factory(lambda s: biased_force(s, ax, bias))
+
+            def body(s, i):
+                return step_fn(s, jax.random.fold_in(key, step + b * r + i)), None
+
+            st, _ = jax.lax.scan(body, st, jnp.arange(r))
+            return (st, ax), None
+
+        (state, aux), _ = jax.lax.scan(block, (state, aux), jnp.arange(n_blocks))
+        s = cv_stack(cvs, state, system)
+        # WT height against the pre-stride grid (reference partition semantics)
+        h = hill_height(hills, bias, s)
+        dV, ddV = hill_field(bias.grid.spec, s, h)
+        # ONE allreduce of the grid delta over ICI — the multi-walker sync
+        dV = jax.lax.psum(dV, axis)
+        ddV = jax.lax.psum(ddV, axis)
+        n_w = jax.lax.psum(jnp.int32(1), axis)
+        new_bias = BiasState(
+            grid=bias.grid.replace(V=bias.grid.V + dV, dV=bias.grid.dV + ddV),
+            n_hills=bias.n_hills + n_w,
+        )
+        V_here, _ = value_and_grad(new_bias.grid, s)
+        metrics = {
+            "cv": s,
+            "hill_height": h,
+            "bias_V": V_here,
+            **engine.metrics(state, aux),
+        }
+        return state, aux, new_bias, (s, h), metrics
+
+    return chunk
+
+
+class WalkerSampler:
+    """Host driver for n_walkers = n_devices replicas with a shared grid.
+
+    Mirrors ``mode_metadynamics(..., multiple_walkers=True)`` run under
+    ``mpirun --nranks W`` in the reference.
+    """
+
+    def __init__(
+        self,
+        system: System,
+        states,                      # pytree batched on leading walker axis
+        engine,
+        cvs,
+        grid_spec: GridSpec,
+        hills: HillSpec,
+        integrator_factory,
+        mesh: Optional[Mesh] = None,
+        seed: int = 0,
+        initial_bias: Optional[BiasState] = None,
+        walls=None,
+    ):
+        if not hasattr(engine, "force_into"):
+            engine = _CallableEngine(engine, system)
+        devices = np.asarray(jax.devices())
+        self.mesh = mesh or Mesh(devices, ("walkers",))
+        self.n_walkers = self.mesh.shape["walkers"]
+        self.engine = engine
+        self.system = system
+        self.cvs = list(cvs)
+        self.hills = hills
+        self.grid_spec = grid_spec
+        bias = initial_bias if initial_bias is not None else BiasState.zeros(grid_spec)
+        chunk = make_walker_chunk(engine, cvs, system, hills,
+                                  integrator_factory, walls=walls)
+
+        def run_one(state, aux, key, step, bias):
+            # squeeze the per-device walker axis (1 walker per device)
+            state = jax.tree.map(lambda x: x[0], state)
+            aux = jax.tree.map(lambda x: x[0], aux)
+            state, aux, new_bias, hill, metrics = chunk(
+                state, aux, key[0], step, bias)
+            expand = lambda t: jax.tree.map(lambda x: x[None], t)
+            return (expand(state), expand(aux), key,
+                    new_bias, expand(hill), expand(metrics))
+
+        wspec = P("walkers")
+        self._run_chunk = jax.jit(_shard_map(
+            run_one, self.mesh,
+            in_specs=(wspec, wspec, wspec, P(), P()),
+            out_specs=(wspec, wspec, wspec, P(), wspec, wspec),
+        ))
+
+        # init per-walker forces eagerly (vmapped init)
+        def init_one(st):
+            st, aux = engine.init(st)
+            st = make_biased_force(engine, cvs, system, walls)(st, aux, bias)
+            return st, aux
+
+        states, auxs = jax.vmap(init_one)(states)
+        keys = jax.vmap(jax.random.fold_in, (None, 0))(
+            jax.random.PRNGKey(seed), jnp.arange(self.n_walkers))
+        self.states = states
+        self.auxs = auxs
+        self.keys = keys
+        self.bias = bias
+        self.step = jnp.int32(0)
+        self.history: list[dict] = []
+
+    def run(self, n_steps: int) -> list[dict]:
+        stride = self.hills.stride
+        assert n_steps % stride == 0
+        out = []
+        for _ in range(n_steps // stride):
+            (self.states, self.auxs, self.keys, self.bias, hill, metrics) = \
+                self._run_chunk(self.states, self.auxs, self.keys,
+                                self.step, self.bias)
+            self.step = self.step + stride
+            out.append(jax.device_get(metrics))
+        self.history.extend(out)
+        return out

@@ -11,6 +11,9 @@ step-time spike at stride boundaries (BASELINE.md "hill-deposit latency").
 Within a stride the bias grid is constant (as in the reference); every MD
 step still re-interpolates ∂V/∂s at the current CV point and applies
 F_bias = −∂V/∂s · ∂s/∂r through one vjp (cv/base.py).
+
+Works over any engine implementing the core/engine.py protocol — the
+particle-order engines and the packed TPU hot-path engine alike.
 """
 from __future__ import annotations
 
@@ -21,63 +24,85 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from .core.state import State, System, temperature
-from .core.engine import ForceEngine, EngineAux
-from .cv.base import CollectiveVariable, cv_values
+from .core.state import State, System
+from .core.engine import EngineAux
+from .cv.base import CollectiveVariable
 from .bias.grid import GridSpec, value_and_grad
-from .bias.metad import BiasState, HillSpec, HillRecord, deposit, free_energy
-from .ops.pairs import PairForceResult
+from .bias.metad import BiasState, HillSpec, WallSpec, deposit, free_energy
 from .io.hill_log import HillLog
 
 
 @struct.dataclass
 class SamplerCarry:
-    state: State
+    state: object
     bias: BiasState
-    aux: EngineAux
+    aux: object
     key: jax.Array
     step: jax.Array  # () i32 global step counter
 
 
-class _CallableEngine(ForceEngine):
-    """Adapter: a plain ``force_fn(state)`` as a rebuild-free engine."""
+class _CallableEngine:
+    """Adapter: a plain apply-style ``force_apply(state) -> state`` as a
+    rebuild-free engine (particle-order State only)."""
 
-    def __init__(self, fn: Callable[[State], PairForceResult]):
+    rebuild_every: int = 10**9
+
+    def __init__(self, fn: Callable, system: System):
         self.fn = fn
+        self.system = system
 
-    def force(self, state: State, aux: EngineAux) -> PairForceResult:
-        return self.fn(state)
+    def init(self, state):
+        return self.fn(state), EngineAux()
 
-    def init_aux(self, state: State) -> EngineAux:
-        return EngineAux()
+    def rebuild(self, state, aux):
+        return state, aux
 
-    def rebuild(self, state: State, aux: EngineAux) -> EngineAux:
-        return aux
+    def force_into(self, state, aux, extra_force=None):
+        state = self.fn(state)
+        if extra_force is not None:
+            state = state.replace(force=state.force + extra_force)
+        return state
+
+    def positions(self, state):
+        return state.pos
+
+    def with_positions(self, state, r):
+        return state.replace(pos=r)
+
+    def metrics(self, state, aux):
+        from .core.state import temperature
+        return {
+            "temperature": temperature(state, self.system),
+            "potential_energy": state.potential_energy,
+            "nlist_overflow": jnp.asarray(False),
+            "nlist_stale": jnp.asarray(False),
+        }
 
 
-def make_biased_force(
-    engine: ForceEngine,
-    cvs: Sequence[CollectiveVariable],
-    system: System,
-):
-    """Compose engine forces with the metadynamics bias force."""
+def cv_stack(cvs, state, system):
+    return jnp.stack([cv.value(state, system) for cv in cvs])
 
-    def force(state: State, aux: EngineAux, bias: BiasState) -> PairForceResult:
-        base = engine.force(state, aux)
 
-        def stacked(pos):
-            return cv_values(cvs, state.replace(pos=pos), system)
+def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None):
+    """Engine force + metadynamics bias (+ optional CV wall) through one vjp."""
 
-        s, vjp = jax.vjp(stacked, state.pos)
+    def force(state, aux, bias: BiasState):
+        def stacked(r):
+            return cv_stack(cvs, engine.with_positions(state, r), system)
+
+        s, vjp = jax.vjp(stacked, engine.positions(state))
         _, dVds = value_and_grad(bias.grid, s)
+        if walls is not None:
+            _, gw = walls.energy_and_grad(s)
+            dVds = dVds + gw
         (g,) = vjp(dVds)
-        return PairForceResult(base.energy, base.force - g, base.virial)
+        return engine.force_into(state, aux, extra_force=-g)
 
     return force
 
 
 def make_stride_chunk(
-    engine: ForceEngine,
+    engine,
     biased_force,
     cvs: Sequence[CollectiveVariable],
     system: System,
@@ -96,7 +121,7 @@ def make_stride_chunk(
 
         def block(c, b):
             state, aux = c
-            aux = engine.rebuild(state, aux)
+            state, aux = engine.rebuild(state, aux)
             step_fn = integrator_factory(
                 lambda st: biased_force(st, aux, bias))
 
@@ -110,7 +135,7 @@ def make_stride_chunk(
         (state, aux), _ = jax.lax.scan(
             block, (carry.state, carry.aux), jnp.arange(n_blocks))
         new_step = carry.step + hills.stride
-        s = cv_values(cvs, state, system)
+        s = cv_stack(cvs, state, system)
         new_bias, rec = deposit(hills, bias, s, new_step)
         V, _ = value_and_grad(new_bias.grid, s)
         metrics = {
@@ -118,15 +143,12 @@ def make_stride_chunk(
             "cv": s,
             "bias_V": V,
             "hill_height": rec.height,
-            "temperature": temperature(state, system),
-            "potential_energy": state.potential_energy,
             # CV outside the registered grid range → hills silently clamp;
             # surface it like the reference's grid-bounds warning
             "cv_out_of_grid": jnp.any(
                 (s < new_bias.grid.spec.lo) | (s > new_bias.grid.spec.hi)
             ),
-            "nlist_overflow": aux.overflow,
-            "nlist_stale": aux.stale,
+            **engine.metrics(state, aux),
         }
         return SamplerCarry(state, new_bias, aux, carry.key, new_step), (rec, metrics)
 
@@ -139,14 +161,14 @@ class MetadSampler:
     Parameters mirror the reference python API (SURVEY.md §2a): hill height
     ``W``, ``stride``, ``deltaT``/mode via :class:`HillSpec`; per-CV grid
     ranges via :class:`GridSpec`; ``filename``/``overwrite`` via
-    :class:`HillLog`.  ``engine`` is either a :class:`ForceEngine` (neighbor
-    -list production path) or a plain ``force_fn(state)``.
+    :class:`HillLog`.  ``engine`` is an engine-protocol object (AllPairs /
+    Neighbor / Packed) or a plain apply-style ``force_apply(state)``.
     """
 
     def __init__(
         self,
         system: System,
-        state: State,
+        state,
         engine,
         cvs: Sequence[CollectiveVariable],
         grid_spec: GridSpec,
@@ -157,22 +179,23 @@ class MetadSampler:
         overwrite: bool = False,
         initial_bias: Optional[BiasState] = None,
         chunks_per_block: int = 64,
+        walls: Optional[WallSpec] = None,
     ):
         assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
-        if not isinstance(engine, ForceEngine):
-            engine = _CallableEngine(engine)
+        if not hasattr(engine, "force_into"):
+            engine = _CallableEngine(engine, system)
         self.engine = engine
         self.system = system
         self.cvs = list(cvs)
         self.hills = hills
         self.grid_spec = grid_spec
-        self.biased_force = make_biased_force(engine, cvs, system)
+        self.walls = walls
+        self.biased_force = make_biased_force(engine, cvs, system, walls)
         bias = initial_bias if initial_bias is not None else BiasState.zeros(grid_spec)
 
         # prime aux + forces at the initial positions (with any restart bias)
-        aux = engine.init_aux(state)
-        res = self.biased_force(state, aux, bias)
-        state = state.replace(force=res.force, potential_energy=res.energy)
+        state, aux = engine.init(state)
+        state = self.biased_force(state, aux, bias)
 
         self.carry = SamplerCarry(
             state=state, bias=bias, aux=aux,
@@ -193,7 +216,7 @@ class MetadSampler:
         self.history: list[dict] = []
 
     @property
-    def state(self) -> State:
+    def state(self):
         return self.carry.state
 
     @property

@@ -128,11 +128,10 @@ def test_nve_energy_conservation(key):
     system = make_system(pos.shape[0])
     ff = ForceField(pair_params=lj_tables(1, r_cut=2.5), pair_kernel=lj_kernel,
                     row_block=128)
-    force_fn = ff.bind(system)
+    force_apply = ff.bind(system)
     state = make_state(pos, box, vel=thermal_velocities(key, system.mass, 0.5))
-    res = force_fn(state)
-    state = state.replace(force=res.force, potential_energy=res.energy)
-    step = make_nve_step(force_fn, system, dt=0.002)
+    state = force_apply(state)
+    step = make_nve_step(force_apply, system, dt=0.002)
     e0 = float(state.potential_energy + kinetic_energy(state, system))
     state = jax.jit(lambda s: run_steps(step, s, jax.random.PRNGKey(1), 500))(state)
     e1 = float(state.potential_energy + kinetic_energy(state, system))
@@ -146,11 +145,10 @@ def test_langevin_equipartition(key):
     box = Box.cubic(3 * 1.7)
     system = make_system(pos.shape[0])
     ff = ForceField(pair_params=wca_tables(1), pair_kernel=lj_kernel, row_block=128)
-    force_fn = ff.bind(system)
+    force_apply = ff.bind(system)
     state = make_state(pos, box)
-    res = force_fn(state)
-    state = state.replace(force=res.force, potential_energy=res.energy)
-    step = make_langevin_step(force_fn, system, dt=0.005, kT=kT, gamma=2.0)
+    state = force_apply(state)
+    step = make_langevin_step(force_apply, system, dt=0.005, kT=kT, gamma=2.0)
     state = jax.jit(lambda s: run_steps(step, s, key, 2000))(state)  # equilibrate
 
     # average T over sample windows

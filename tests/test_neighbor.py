@@ -121,9 +121,7 @@ def test_md_with_neighbor_engine_matches_all_pairs(key):
 
     results = []
     for eng in (eng_ap, eng_nb):
-        aux = eng.init_aux(state0)
-        res = eng.force(state0, aux)
-        st = state0.replace(force=res.force, potential_energy=res.energy)
+        st, aux = eng.init(state0)
         factory = lambda f: make_langevin_step(f, system, 0.004, 0.8, 1.0)
 
         @jax.jit
