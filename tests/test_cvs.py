@@ -1,0 +1,157 @@
+"""P5 collective-variable tests against physics oracles."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.state import make_state, make_system
+from metadyn_tpu.cv.lamellar import LamellarOP
+from metadyn_tpu.cv.mesh import MeshOrderParameter, cic_assign
+from metadyn_tpu.cv.steinhardt import SteinhardtQl
+from metadyn_tpu.cv.msd import MSD
+from metadyn_tpu.cv.simple import EnergyCV
+from metadyn_tpu.utils.lattice import fcc_lattice, sc_lattice
+
+
+def test_lamellar_perfect_wave():
+    """Particles arranged in cos-weighted density → s ≈ expected amplitude."""
+    n, L = 4000, 20.0
+    rng = np.random.default_rng(0)
+    # rejection-sample density ∝ 1 + 0.8 cos(k z), k = 2π·2/L
+    z = rng.uniform(-L / 2, L / 2, 4 * n)
+    keep = rng.uniform(0, 1.8, 4 * n) < 1 + 0.8 * np.cos(2 * np.pi * 2 * z / L)
+    z = z[keep][:n]
+    pos = np.stack([rng.uniform(-L / 2, L / 2, n), rng.uniform(-L / 2, L / 2, n), z], 1)
+    state = make_state(pos.astype(np.float32), Box.cubic(L))
+    system = make_system(n)
+    cv = LamellarOP.create(mode=[1.0], lattice_vectors=[[0, 0, 2]])
+    s = float(cv.value(state, system))
+    assert abs(s - 0.4) < 0.03, s  # ⟨cos⟩ = amplitude/2
+
+
+def test_cic_assign_conserves_mass():
+    n, L = 100, 10.0
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.uniform(-L / 2, L / 2, (n, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    rho = cic_assign(pos, w, Box.cubic(L), (8, 8, 8))
+    np.testing.assert_allclose(float(rho.sum()), float(w.sum()), rtol=1e-5)
+
+
+def test_mesh_cv_detects_density_wave():
+    """S(k) CV large for a density wave at k0, small for uniform fluid."""
+    n, L = 4096, 16.0
+    rng = np.random.default_rng(2)
+    k0 = 2 * np.pi * 2 / L  # wave with 2 periods across the box
+    z = rng.uniform(-L / 2, L / 2, 6 * n)
+    keep = rng.uniform(0, 2.0, 6 * n) < 1 + 0.9 * np.cos(k0 * z)
+    z = z[keep][:n]
+    pos_wave = np.stack(
+        [rng.uniform(-L / 2, L / 2, n), rng.uniform(-L / 2, L / 2, n), z], 1)
+    pos_unif = rng.uniform(-L / 2, L / 2, (n, 3))
+    system = make_system(n)
+    cv = MeshOrderParameter.create((16, 16, 16), L, mode=[1.0], k0=k0, width=0.2)
+    s_wave = float(cv.value(make_state(pos_wave.astype(np.float32), Box.cubic(L)), system))
+    s_unif = float(cv.value(make_state(pos_unif.astype(np.float32), Box.cubic(L)), system))
+    assert s_wave > 20 * s_unif, (s_wave, s_unif)
+    # both ±k0 peaks land in the window: s/N ≈ A²/2 × W_CIC(k0)²
+    # (A=0.9 → 0.405, CIC attenuation ~0.9 → ≈0.36)
+    assert 0.25 < s_wave / n < 0.45, s_wave / n
+
+
+def test_mesh_cv_differentiable():
+    n, L = 64, 8.0
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    system = make_system(n)
+    state = make_state(pos, Box.cubic(L))
+    cv = MeshOrderParameter.create((8, 8, 8), L, mode=[1.0], k0=1.5)
+
+    g = jax.grad(lambda p: cv.value(state.replace(pos=p), system))(state.pos)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # finite-difference check on one coordinate
+    eps = 1e-3
+    p1 = state.pos.at[5, 2].add(eps)
+    p2 = state.pos.at[5, 2].add(-eps)
+    fd = (float(cv.value(state.replace(pos=p1), system))
+          - float(cv.value(state.replace(pos=p2), system))) / (2 * eps)
+    np.testing.assert_allclose(float(g[5, 2]), fd, rtol=2e-2, atol=1e-4)
+
+
+def test_steinhardt_q6_fcc():
+    """Perfect fcc with 12 nearest neighbors: Q6 = 0.57452 (textbook)."""
+    a = 1.6
+    pos = fcc_lattice(4, a)
+    L = 4 * a
+    state = make_state(pos, Box.cubic(L))
+    system = make_system(pos.shape[0])
+    nn = a / np.sqrt(2)  # fcc nearest-neighbor distance
+    cv = SteinhardtQl(r_cut=nn * 1.2, l=6, row_block=128)
+    q6 = float(cv.value(state, system))
+    np.testing.assert_allclose(q6, 0.57452, atol=2e-3)
+
+
+def test_steinhardt_q4_fcc():
+    """fcc Q4 = 0.19094."""
+    a = 1.6
+    pos = fcc_lattice(4, a)
+    state = make_state(pos, Box.cubic(4 * a))
+    system = make_system(pos.shape[0])
+    cv = SteinhardtQl(r_cut=a / np.sqrt(2) * 1.2, l=4, row_block=128)
+    np.testing.assert_allclose(float(cv.value(state, system)), 0.19094, atol=2e-3)
+
+
+def test_steinhardt_q6_disordered_small():
+    rng = np.random.default_rng(4)
+    n, L = 500, 10.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    state = make_state(pos, Box.cubic(L))
+    system = make_system(n)
+    q6 = float(SteinhardtQl(r_cut=1.6, l=6, row_block=125).value(state, system))
+    assert q6 < 0.25, q6  # random gas ≪ crystal value
+
+
+def test_steinhardt_differentiable():
+    a = 1.6
+    pos = fcc_lattice(3, a)
+    state = make_state(pos, Box.cubic(3 * a))
+    system = make_system(pos.shape[0])
+    cv = SteinhardtQl(r_cut=a / np.sqrt(2) * 1.2, l=6, row_block=108)
+    g = jax.grad(lambda p: cv.value(state.replace(pos=p), system))(state.pos)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # perfect crystal is a symmetric extremum → net gradient ~ 0 per particle
+    eps = 1e-3
+    p1 = state.pos.at[3, 0].add(eps)
+    fd = (float(cv.value(state.replace(pos=p1), system))
+          - float(cv.value(state, system))) / eps
+    np.testing.assert_allclose(float(g[3, 0]), fd, rtol=5e-2, atol=1e-3)
+
+
+def test_msd_cv():
+    n, L = 32, 10.0
+    rng = np.random.default_rng(5)
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    state = make_state(pos, Box.cubic(L))
+    system = make_system(n)
+    cv = MSD.create(pos)
+    assert float(cv.value(state, system)) == pytest.approx(0.0)
+    moved = state.replace(pos=state.pos + jnp.asarray([0.3, 0, 0]))
+    np.testing.assert_allclose(float(cv.value(moved, system)), 0.09, rtol=1e-4)
+    # wrap-through-boundary must use unwrapped coordinates
+    from metadyn_tpu.core.box import wrap
+    p2, shift = wrap(state.pos + jnp.asarray([L, 0, 0]), state.box)
+    moved2 = state.replace(pos=p2, image=state.image + shift)
+    np.testing.assert_allclose(float(cv.value(moved2, system)), L * L, rtol=1e-4)
+
+
+def test_energy_cv_wrapper():
+    """CollectiveWrapper parity: any energy function as a CV."""
+    n, L = 16, 8.0
+    rng = np.random.default_rng(6)
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    state = make_state(pos, Box.cubic(L))
+    system = make_system(n)
+    cv = EnergyCV(energy_fn=lambda p, st, sys: jnp.sum(p[:, 0] ** 2), name="wte")
+    np.testing.assert_allclose(float(cv.value(state, system)),
+                               float(jnp.sum(state.pos[:, 0] ** 2)), rtol=1e-6)
