@@ -1,0 +1,101 @@
+"""Flux-tempered metadynamics (Singh–Chopra–de Pablo family).
+
+Reference parity: the flux-tempered mode of ``IntegratorMetaDynamics``
+(recalled, SURVEY.md §3.4).  Behavioral contract: ONE collective variable;
+no per-stride hill deposits — instead a visit histogram h(s) (plus
+direction-crossing flux counters as convergence diagnostics) accumulates
+every step, and at a fixed update period the bias is rebuilt from the
+histogram and the statistics reset:
+
+    V_new(s) = V_old(s) + (kT/2)·ln[ h(s) / ⟨h⟩ ]      (visited bins)
+
+Because h ∝ exp(−β(F+V_old)), each update moves V halfway to −F — the
+half-step histogram-reweighting iteration (geometric convergence, robust
+against under-sampled bins).  Derivative grids are rebuilt from V by
+central differences (grid-native bias has no analytic hill derivatives).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .grid import BiasGrid, GridSpec
+from .metad import BiasState
+
+
+@struct.dataclass
+class FluxState:
+    """Per-update-period accumulators (1-D CV)."""
+
+    hist: jax.Array       # (n,) visit counts
+    flux_up: jax.Array    # (n,) rightward bin-boundary crossings
+    flux_down: jax.Array  # (n,)
+    prev_bin: jax.Array   # () i32
+
+    @classmethod
+    def zeros(cls, spec: GridSpec) -> "FluxState":
+        assert spec.ndim == 1, "flux-tempered metadynamics supports 1 CV"
+        n = spec.shape[0]
+        return cls(hist=jnp.zeros(n), flux_up=jnp.zeros(n),
+                   flux_down=jnp.zeros(n), prev_bin=jnp.int32(-1))
+
+
+def bin_of(spec: GridSpec, s: jax.Array) -> jax.Array:
+    t = (s[0] - spec.lo[0]) / (spec.hi[0] - spec.lo[0])
+    n = spec.shape[0]
+    return jnp.clip((t * n).astype(jnp.int32), 0, n - 1)
+
+
+def accumulate(flux: FluxState, spec: GridSpec, s: jax.Array) -> FluxState:
+    """Per-step histogram + crossing-direction update (on device, fused)."""
+    b = bin_of(spec, s)
+    hist = flux.hist.at[b].add(1.0)
+    up = (b > flux.prev_bin) & (flux.prev_bin >= 0)
+    down = (b < flux.prev_bin) & (flux.prev_bin >= 0)
+    flux_up = flux.flux_up.at[b].add(jnp.where(up, 1.0, 0.0))
+    flux_down = flux.flux_down.at[b].add(jnp.where(down, 1.0, 0.0))
+    return FluxState(hist=hist, flux_up=flux_up, flux_down=flux_down,
+                     prev_bin=b)
+
+
+def update_bias(bias: BiasState, flux: FluxState, kT: float,
+                gain: float = 0.5) -> tuple[BiasState, FluxState]:
+    """Histogram → bias rebuild + statistics reset (the periodic update).
+
+    ``gain`` is the update step size; a stochastic-approximation schedule
+    (e.g. 0.5/(1+k/k₀), Wang–Landau-style) damps the sampling-noise random
+    walk and guarantees convergence."""
+    spec = bias.grid.spec
+    h = flux.hist
+    # pseudocount regularization: smooth in h, and UNvisited bins receive a
+    # negative increment (they become relatively attractive) instead of a
+    # hard cliff at the visited/unvisited boundary — a cliff's huge FD force
+    # traps the walker and the update runs away (observed)
+    h_mean = jnp.mean(h)
+    dV = gain * kT * jnp.log((h + 1.0) / (h_mean + 1.0))
+    # 3-point binomial smoothing kills per-bin sampling noise before the
+    # finite-difference derivative amplifies it
+    if spec.periodic[0]:
+        dV = 0.25 * jnp.roll(dV, 1) + 0.5 * dV + 0.25 * jnp.roll(dV, -1)
+    else:
+        pad = jnp.concatenate([dV[:1], dV, dV[-1:]])
+        dV = 0.25 * pad[:-2] + 0.5 * pad[1:-1] + 0.25 * pad[2:]
+    V = bias.grid.V + dV
+    # derivative grid by central differences (grid-native bias)
+    dx = spec.spacing(0)
+    if spec.periodic[0]:
+        dVds = (jnp.roll(V, -1) - jnp.roll(V, 1)) / (2 * dx)
+    else:
+        interior = (jnp.roll(V, -1) - jnp.roll(V, 1)) / (2 * dx)
+        dVds = interior.at[0].set((V[1] - V[0]) / dx)
+        dVds = dVds.at[-1].set((V[-1] - V[-2]) / dx)
+    grid = BiasGrid(spec=spec, V=V, dV=dVds[None, :])
+    return (BiasState(grid=grid, n_hills=bias.n_hills + 1),
+            FluxState.zeros(spec))
+
+
+def round_trips(flux: FluxState) -> jax.Array:
+    """Convergence diagnostic: min directional flux through the mid bin."""
+    mid = flux.hist.shape[0] // 2
+    return jnp.minimum(flux.flux_up[mid], flux.flux_down[mid])

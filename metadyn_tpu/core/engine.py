@@ -72,7 +72,8 @@ class ForceEngine:
                    extra_force: Optional[jax.Array] = None) -> State:
         res = self._net_force(state, aux)
         f = res.force if extra_force is None else res.force + extra_force
-        return state.replace(force=f, potential_energy=res.energy)
+        return state.replace(force=f, potential_energy=res.energy,
+                             virial=res.virial)
 
     def positions(self, state: State) -> jax.Array:
         return state.pos

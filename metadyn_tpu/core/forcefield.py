@@ -40,7 +40,8 @@ class ForceField:
 
         def force_apply(state: State) -> State:
             res = raw(state)
-            return state.replace(force=res.force, potential_energy=res.energy)
+            return state.replace(force=res.force, potential_energy=res.energy,
+                                 virial=res.virial)
 
         return force_apply
 

@@ -31,6 +31,8 @@ class State:
     image: jax.Array     # (N, 3) i32 — box-image counters (unwrapping / MSD)
     box: Box
     potential_energy: jax.Array  # () f32 — potential energy at current positions
+    virial: jax.Array            # () f32 — Σ_{i<j} f_ij·r_ij at current positions
+    xi: jax.Array                # () f32 — Nosé–Hoover thermostat DOF
 
     @property
     def n(self) -> int:
@@ -102,6 +104,8 @@ def make_state(
         image=shift,
         box=box,
         potential_energy=jnp.float32(0.0),
+        virial=jnp.float32(0.0),
+        xi=jnp.float32(0.0),
     )
 
 
@@ -115,6 +119,12 @@ def thermal_velocities(key: jax.Array, mass: jax.Array, kT: float) -> jax.Array:
 
 def kinetic_energy(state: State, system: System) -> jax.Array:
     return 0.5 * jnp.sum(system.mass[:, None] * state.vel**2)
+
+
+def pressure(state: State, system: System) -> jax.Array:
+    """Instantaneous pressure: PV = N·kT_inst + W/3 (W = Σ f_ij·r_ij)."""
+    ke = kinetic_energy(state, system)
+    return (2.0 * ke / 3.0 + state.virial / 3.0) / state.box.volume
 
 
 def temperature(state: State, system: System) -> jax.Array:

@@ -1,0 +1,145 @@
+"""Flux-tempered metadynamics sampler (mode='flux_tempered' parity).
+
+Reference parity: ``mode_metadynamics(..., mode=flux_tempered)`` +
+``reset_histograms`` (recalled, SURVEY.md §2a/§3.4).  Between updates the
+run is deposit-free: the existing grid bias force acts every step and a
+visit histogram accumulates on-device; every ``update_period`` strides the
+bias is rebuilt from the histogram on the host (grid-sized, cheap) and the
+statistics reset.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .core.state import System
+from .cv.base import CollectiveVariable
+from .bias.grid import GridSpec
+from .bias.metad import BiasState, WallSpec
+from .bias.flux import FluxState, accumulate, update_bias, round_trips
+from .sampler import cv_stack, make_biased_force, _CallableEngine
+
+
+@struct.dataclass
+class FluxCarry:
+    state: object
+    aux: object
+    flux: FluxState
+    key: jax.Array
+    step: jax.Array
+
+
+class FluxTemperedSampler:
+    def __init__(
+        self,
+        system: System,
+        state,
+        engine,
+        cvs: Sequence[CollectiveVariable],
+        grid_spec: GridSpec,
+        integrator_factory,
+        kT: float,
+        stride: int = 100,
+        update_period: int = 20,       # strides per bias update
+        seed: int = 0,
+        walls: Optional[WallSpec] = None,
+        initial_bias: Optional[BiasState] = None,
+        gain0: float = 0.5,
+        gain_halflife: int = 20,   # updates until the gain halves
+    ):
+        assert grid_spec.ndim == 1 and len(cvs) == 1, \
+            "flux-tempered metadynamics supports exactly one CV"
+        if not hasattr(engine, "force_into"):
+            engine = _CallableEngine(engine, system)
+        self.engine = engine
+        self.system = system
+        self.cvs = list(cvs)
+        self.kT = kT
+        self.stride = stride
+        self.update_period = update_period
+        self.grid_spec = grid_spec
+        self.bias = initial_bias if initial_bias is not None \
+            else BiasState.zeros(grid_spec)
+        self.biased_force = make_biased_force(engine, cvs, system, walls)
+
+        state, aux = engine.init(state)
+        state = self.biased_force(state, aux, self.bias)
+        self.carry = FluxCarry(state=state, aux=aux,
+                               flux=FluxState.zeros(grid_spec),
+                               key=jax.random.PRNGKey(seed),
+                               step=jnp.int32(0))
+
+        r = min(engine.rebuild_every, stride)
+        assert stride % r == 0
+        n_blocks = stride // r
+
+        def chunk(carry: FluxCarry, bias: BiasState, _):
+            def block(c, b):
+                st, ax, fx = c
+                st, ax = engine.rebuild(st, ax)
+                step_fn = integrator_factory(
+                    lambda s: self.biased_force(s, ax, bias))
+
+                def body(inner, i):
+                    st, fx = inner
+                    k = jax.random.fold_in(carry.key, carry.step + b * r + i)
+                    st = step_fn(st, k)
+                    fx = accumulate(fx, grid_spec, cv_stack(cvs, st, system))
+                    return (st, fx), None
+
+                (st, fx), _ = jax.lax.scan(body, (st, fx), jnp.arange(r))
+                return (st, ax, fx), None
+
+            (state, aux, flux), _ = jax.lax.scan(
+                block, (carry.state, carry.aux, carry.flux),
+                jnp.arange(n_blocks))
+            new = FluxCarry(state, aux, flux, carry.key, carry.step + stride)
+            s = cv_stack(cvs, state, system)
+            metrics = {"cv": s, **engine.metrics(state, aux)}
+            return new, metrics
+
+        def run_period(carry, bias):
+            def body(c, _):
+                return chunk(c, bias, None)
+            return jax.lax.scan(body, carry, None, length=update_period)
+
+        self._run_period = jax.jit(run_period)
+        self.history: list[dict] = []
+        self.n_updates = 0
+        self.gain0 = gain0
+        self.gain_halflife = gain_halflife
+
+    @property
+    def state(self):
+        return self.carry.state
+
+    def run(self, n_steps: int) -> list[dict]:
+        """Run n_steps (multiple of stride·update_period); applies a bias
+        update + histogram reset at every period boundary."""
+        period_steps = self.stride * self.update_period
+        assert n_steps % period_steps == 0, (
+            f"n_steps must be a multiple of stride*update_period={period_steps}")
+        out = []
+        for _ in range(n_steps // period_steps):
+            self.carry, metrics = self._run_period(self.carry, self.bias)
+            m = jax.device_get(metrics)
+            m["round_trips"] = float(round_trips(self.carry.flux))
+            out.append(m)
+            gain = self.gain0 / (1.0 + self.n_updates / self.gain_halflife)
+            self.bias, new_flux = update_bias(self.bias, self.carry.flux,
+                                              self.kT, gain=gain)
+            self.carry = self.carry.replace(flux=new_flux)
+            self.n_updates += 1
+        self.history.extend(out)
+        return out
+
+    def free_energy(self) -> np.ndarray:
+        F = -np.asarray(self.bias.grid.V)
+        return F - F.min()
+
+    def grid_coords(self) -> np.ndarray:
+        return np.asarray(self.grid_spec.axis_coords(0))

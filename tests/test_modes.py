@@ -1,0 +1,146 @@
+"""P7 tests: NVT thermostats, NPT barostat, aspect-ratio CV, flux-tempered."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.state import (
+    make_state, make_system, thermal_velocities, temperature, pressure,
+)
+from metadyn_tpu.core.forcefield import ForceField
+from metadyn_tpu.integrate.base import run_steps
+from metadyn_tpu.integrate.nvt import make_nvt_nh_step, make_nvt_bdp_step
+from metadyn_tpu.integrate.npt import make_npt_scr_step
+from metadyn_tpu.integrate.langevin import make_langevin_step
+from metadyn_tpu.cv.aspect_ratio import AspectRatio
+from metadyn_tpu.cv.simple import AxisPosition
+from metadyn_tpu.bias.grid import GridSpec
+from metadyn_tpu.bias.flux import (
+    FluxState, accumulate, update_bias, bin_of,
+)
+from metadyn_tpu.bias.metad import BiasState
+from metadyn_tpu.flux_sampler import FluxTemperedSampler
+from metadyn_tpu.ops.pairs import lj_tables, wca_tables, lj_kernel
+from metadyn_tpu.utils.lattice import fcc_lattice
+
+A_WELL = 2.0
+
+
+def _lj_setup(key, kT=1.0, n_cells=3, a=1.7):
+    pos = fcc_lattice(n_cells, a)
+    box = Box.cubic(n_cells * a)
+    system = make_system(pos.shape[0])
+    ff = ForceField(pair_params=wca_tables(1), pair_kernel=lj_kernel,
+                    row_block=128)
+    force_apply = ff.bind(system)
+    state = make_state(pos, box, vel=thermal_velocities(key, system.mass, kT))
+    return system, force_apply(state), force_apply
+
+
+@pytest.mark.parametrize("maker", [make_nvt_nh_step, make_nvt_bdp_step])
+def test_nvt_thermostats_equipartition(key, maker):
+    kT = 1.1
+    system, state, force_apply = _lj_setup(key, kT)
+    step = maker(force_apply, system, dt=0.004, kT=kT, tau=0.3)
+    state = jax.jit(lambda s: run_steps(step, s, key, 1500))(state)
+    temps = []
+    for i in range(8):
+        state = jax.jit(lambda s, k: run_steps(step, s, k, 100))(
+            state, jax.random.PRNGKey(i))
+        temps.append(float(temperature(state, system)))
+    assert abs(np.mean(temps) - kT) / kT < 0.1, temps
+
+
+def test_npt_scr_targets_pressure(key):
+    kT, P = 1.2, 1.0
+    system, state, force_apply = _lj_setup(key, kT, n_cells=4, a=1.75)
+    step = make_npt_scr_step(force_apply, system, dt=0.004, kT=kT,
+                             pressure=P, gamma=2.0, tau_p=1.0)
+    state = jax.jit(lambda s: run_steps(step, s, key, 3000))(state)
+    ps, vols = [], []
+    for i in range(12):
+        state = jax.jit(lambda s, k: run_steps(step, s, k, 150))(
+            state, jax.random.PRNGKey(50 + i))
+        ps.append(float(pressure(state, system)))
+        vols.append(float(state.box.volume))
+    p_mean = np.mean(ps)
+    assert abs(p_mean - P) < 0.35, (p_mean, ps)
+    assert np.std(vols) > 0  # box actually breathes
+
+
+def test_npt_anisotropic_runs(key):
+    kT, P = 1.0, 0.5
+    system, state, force_apply = _lj_setup(key, kT)
+    cv = AspectRatio()
+    bias = BiasState.zeros(GridSpec.create([0.5], [2.0], [51], [0.05]))
+    step = make_npt_scr_step(
+        force_apply, system, dt=0.004, kT=kT, pressure=P, gamma=2.0,
+        tau_p=1.0, anisotropic=True,
+        box_bias_fn=lambda st: jnp.zeros(3))
+    state2 = jax.jit(lambda s: run_steps(step, s, key, 500))(state)
+    L = np.asarray(state2.box.L)
+    assert np.all(np.isfinite(L)) and np.all(L > 0)
+    s = float(cv.value(state2, system))
+    assert 0.3 < s < 3.0
+    # aspect CV box-gradient sanity
+    g = np.asarray(cv.dvalue_dL(state2))
+    eps = 1e-3
+    Lp = state2.box.L.at[0].add(eps)
+    s2 = float(Lp[0] / Lp[1])
+    np.testing.assert_allclose(g[0], (s2 - s) / eps, rtol=1e-3)
+
+
+def test_flux_accumulate_and_update():
+    spec = GridSpec.create([-1.0], [1.0], [20], [0.1])
+    fx = FluxState.zeros(spec)
+    for s in [-0.9, -0.5, 0.0, 0.5, 0.9, 0.5, 0.0, -0.5]:
+        fx = accumulate(fx, spec, jnp.asarray([s]))
+    h = np.asarray(fx.hist)
+    assert h.sum() == 8
+    assert float(fx.flux_up.sum()) == 4 and float(fx.flux_down.sum()) == 3
+    bias = BiasState.zeros(spec)
+    bias2, fx2 = update_bias(bias, fx, kT=1.0)
+    V = np.asarray(bias2.grid.V)
+    assert np.asarray(fx2.hist).sum() == 0  # reset
+    # more-visited bins got more bias
+    b_twice = int(bin_of(spec, jnp.asarray([0.5])))
+    b_once = int(bin_of(spec, jnp.asarray([0.9])))
+    assert V[b_twice] > V[b_once]
+    # unvisited bins become relatively attractive (pseudocount update)
+    assert V[0] < 0.0
+
+
+def test_flux_tempered_double_well_converges():
+    """FT-MTD on the double well: iterated histogram updates flatten the
+    landscape and recover F within a loose tolerance."""
+    kT = 0.6
+
+    def dw(pos, state, system):
+        x = pos[0, 0]
+        return A_WELL * (x * x - 1.0) ** 2 + 5.0 * (pos[0, 1] ** 2 + pos[0, 2] ** 2)
+
+    system = make_system(1)
+    ff = ForceField(external=dw)
+    state = make_state(np.asarray([[1.0, 0, 0]], np.float32), Box.cubic(50.0))
+    s = FluxTemperedSampler(
+        system, state, ff.bind(system), cvs=[AxisPosition(0, 0, name="x")],
+        grid_spec=GridSpec.create([-1.5], [1.5], [61], [0.1]),
+        integrator_factory=lambda f: make_langevin_step(
+            f, system, dt=0.005, kT=kT, gamma=5.0),
+        kT=kT, stride=50, update_period=100, seed=0,
+    )
+    x = s.grid_coords()
+    F_true = A_WELL * (x ** 2 - 1.0) ** 2
+    s.run(100_000)  # transient (20 updates)
+    F_acc = np.zeros_like(x)
+    n_seg = 6
+    for _ in range(n_seg):
+        s.run(100_000)
+        F_acc += s.free_energy()
+    F = F_acc / n_seg
+    m = np.abs(x) <= 1.1
+    err = (F - F_true)[m]
+    err -= err.mean()
+    assert np.max(np.abs(err)) < 0.35, np.max(np.abs(err))
+    assert max(h["round_trips"] for h in s.history) >= 1
