@@ -96,7 +96,9 @@ class ForceEngine:
     def _common(self, state: State) -> PairForceResult:
         e = jnp.float32(0.0)
         f = jnp.zeros_like(state.pos)
-        w = jnp.float32(0.0)
+        # derive from state so the value stays device-varying under
+        # shard_map (a literal 0.0 is unvarying and breaks scan carries)
+        w = state.virial * 0.0
         if self.harmonic is not None:
             r = bond_ops.harmonic_bond_force(
                 state.pos, self.system.bonds, self.system.bond_types,

@@ -49,7 +49,9 @@ class ForceField:
         def force_fn(state: State) -> PairForceResult:
             e = jnp.float32(0.0)
             f = jnp.zeros_like(state.pos)
-            w = jnp.float32(0.0)
+            # derive from state so the value stays device-varying under
+            # shard_map (a literal 0.0 is unvarying and breaks scan carries)
+            w = state.virial * 0.0
             if self.pair_params is not None:
                 r = all_pairs_force(
                     state.pos, system.types, state.box,
