@@ -1,0 +1,120 @@
+"""I/O subsystems: atomic checkpoint + bitwise resume, metrics, trajectory,
+and the CLI end-to-end on the Config-1 example."""
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.state import make_state, make_system
+from metadyn_tpu.core.forcefield import ForceField
+from metadyn_tpu.integrate.langevin import make_langevin_step
+from metadyn_tpu.cv.simple import AxisPosition
+from metadyn_tpu.bias.grid import GridSpec
+from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+from metadyn_tpu.sampler import MetadSampler
+from metadyn_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+from metadyn_tpu.io.metrics import CSVLogger, JSONLLogger, read_csv
+from metadyn_tpu.io.trajectory import TrajectoryWriter, read_trajectory
+
+
+def _sampler(seed=0):
+    def dw(pos, state, system):
+        x = pos[0, 0]
+        return 2.0 * (x * x - 1.0) ** 2 + 5.0 * (pos[0, 1] ** 2 + pos[0, 2] ** 2)
+
+    system = make_system(1)
+    ff = ForceField(external=dw)
+    state = make_state(np.asarray([[1.0, 0, 0]], np.float32), Box.cubic(50.0))
+    return MetadSampler(
+        system, state, ff.bind(system), cvs=[AxisPosition(0, 0, name="x")],
+        grid_spec=GridSpec.create([-1.6], [1.6], [81], [0.1]),
+        hills=HillSpec.create(W=0.1, stride=25, mode=WELL_TEMPERED, deltaT=4.0),
+        integrator_factory=lambda f: make_langevin_step(
+            f, system, dt=0.005, kT=0.6, gamma=5.0),
+        seed=seed,
+    ), system
+
+
+def test_checkpoint_bitwise_resume(tmp_path):
+    """Kill-and-resume reproduces the uninterrupted run bit-for-bit
+    (SURVEY.md §5 fault injection)."""
+    ckpt = str(tmp_path / "ckpt.npz")
+    s1, _ = _sampler(seed=3)
+    s1.run(500)
+    save_checkpoint(ckpt, s1.carry, extra={"n_updates": 7})
+    s1.run(500)
+    V_ref = np.asarray(s1.bias.grid.V)
+    pos_ref = np.asarray(s1.state.pos)
+
+    # "crashed" process: fresh sampler, load carry, continue identically
+    s2, _ = _sampler(seed=3)
+    carry, extras = load_checkpoint(ckpt, s2.carry)
+    assert int(extras["n_updates"]) == 7
+    s2.carry = carry
+    s2.run(500)
+    np.testing.assert_array_equal(V_ref, np.asarray(s2.bias.grid.V))
+    np.testing.assert_array_equal(pos_ref, np.asarray(s2.state.pos))
+
+
+def test_csv_and_jsonl_loggers(tmp_path):
+    s, _ = _sampler()
+    hist = s.run(250)
+    csv_path = str(tmp_path / "log.csv")
+    CSVLogger(csv_path).append(hist)
+    back = read_csv(csv_path)
+    assert back["step"].shape[0] == 10
+    np.testing.assert_allclose(back["temperature"],
+                               [float(h["temperature"]) for h in hist],
+                               rtol=1e-5)
+    assert "cv_0" in back
+    j = JSONLLogger(str(tmp_path / "log.jsonl"))
+    j.append(hist)
+    import json
+    rows = [json.loads(l) for l in open(tmp_path / "log.jsonl")]
+    assert len(rows) == 10 and "bias_V" in rows[0]
+
+
+def test_trajectory_roundtrip(tmp_path):
+    p = str(tmp_path / "traj.npz")
+    w = TrajectoryWriter(p)
+    rng = np.random.default_rng(0)
+    frames = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(3)]
+    for i, fr in enumerate(frames):
+        w.append(fr, np.zeros((5, 3), np.int32), [10.0, 10.0, 10.0], step=i * 100)
+    back = read_trajectory(p)
+    assert back["pos"].shape == (3, 5, 3)
+    np.testing.assert_array_equal(back["step"], [0, 100, 200])
+    np.testing.assert_allclose(back["pos"][1], frames[1])
+
+
+def test_cli_config1_end_to_end(tmp_path):
+    """`metadyn run` on the Config-1 example: runs, writes hill log, CSV,
+    and grid dump (BASELINE.json:7 anchor through the user-facing entry)."""
+    from metadyn_tpu.cli import main
+    import yaml
+    cfg = yaml.safe_load(open("examples/config1_lj_lamellar.yaml"))
+    cfg["run"]["n_steps"] = 100
+    cfg["run"]["report_every"] = 50
+    cfg["output"] = {
+        "hill_file": str(tmp_path / "hills.txt"),
+        "log_file": str(tmp_path / "log.csv"),
+        "grid_file": str(tmp_path / "grid.npz"),
+        "overwrite": True,
+    }
+    cfg_path = str(tmp_path / "c1.yaml")
+    yaml.safe_dump(cfg, open(cfg_path, "w"))
+    assert main(["run", cfg_path]) == 0
+    from metadyn_tpu.io.hill_log import read_hills
+    h = read_hills(str(tmp_path / "hills.txt"))
+    assert h["step"].shape[0] == 4
+    log = read_csv(str(tmp_path / "log.csv"))
+    assert log["step"].shape[0] == 4
+    from metadyn_tpu.io.grid_file import load_grid
+    bias, meta = load_grid(str(tmp_path / "grid.npz"))
+    assert meta["mode"] == "standard"
+    assert np.asarray(bias.grid.V).max() > 0
