@@ -81,6 +81,9 @@ class ForceEngine:
     def with_positions(self, state: State, r: jax.Array) -> State:
         return state.replace(pos=r)
 
+    def refresh_energy(self, state: State, aux) -> State:
+        return state  # particle-order engines always carry fresh energy
+
     def metrics(self, state: State, aux: EngineAux) -> dict:
         return {
             "temperature": temperature(state, self.system),

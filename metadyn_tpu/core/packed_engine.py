@@ -22,6 +22,7 @@ from ..ops.packed import (
     packed_lj_force, packed_temperature, needs_repack, unpack_positions,
 )
 from ..ops.packed_pallas import packed_lj_force_pallas
+from ..ops.packed_pallas2 import packed_lj_force_pallas2
 
 
 @struct.dataclass
@@ -47,7 +48,15 @@ class PackedEngine:
         self.rebuild_every = rebuild_every
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
-        self._force = packed_lj_force_pallas if use_pallas else packed_lj_force
+        if use_pallas:
+            # Newton-halved kernel; inner MD steps skip the energy/virial
+            # accumulation (refreshed at stride boundaries)
+            self._force = lambda st, sp: packed_lj_force_pallas2(
+                st, sp, with_energy=False)
+            self._force_e = packed_lj_force_pallas2
+        else:
+            self._force = packed_lj_force
+            self._force_e = packed_lj_force
         self.mass = mass
 
     # --- construction -----------------------------------------------------
@@ -89,6 +98,10 @@ class PackedEngine:
 
     def with_positions(self, state: PackedState, r: jax.Array) -> PackedState:
         return state.replace(r=r)
+
+    def refresh_energy(self, state: PackedState, aux) -> PackedState:
+        """Recompute forces WITH energy/virial (stride-boundary metrics)."""
+        return self._force_e(state, self.spec)
 
     def metrics(self, state: PackedState, aux: PackedAux) -> dict:
         return {

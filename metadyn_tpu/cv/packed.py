@@ -88,3 +88,66 @@ def msd_reference_attrs(pos: np.ndarray) -> dict:
     """Per-particle reference-position attributes for PackedMSD at pack time."""
     p = np.asarray(pos, np.float32)
     return {"msd_x": p[:, 0], "msd_y": p[:, 1], "msd_z": p[:, 2]}
+
+
+@struct.dataclass
+class PackedMesh:
+    """Mesh order parameter / S(k) CV on packed state (cf. cv/mesh.py).
+
+    CIC assignment reads the SoA slot arrays directly; per-slot assignment
+    coefficients live in the ``mesh_<name>`` attribute (0 on vacant slots).
+    """
+
+    u_k: jax.Array
+    mesh_shape: tuple = struct.field(pytree_node=False)
+    n_real: int = struct.field(pytree_node=False)
+    name: str = struct.field(pytree_node=False, default="mesh")
+
+    @classmethod
+    def create(cls, mesh_shape, box_L, n_real, k0=None, width=0.5,
+               u_k=None, name="mesh"):
+        from .mesh import _k_vectors
+        mesh_shape = tuple(int(x) for x in mesh_shape)
+        box_L = np.asarray(box_L, np.float32).reshape(-1)
+        if box_L.size == 1:
+            box_L = np.repeat(box_L, 3)
+        if u_k is None:
+            assert k0 is not None
+            kmag = _k_vectors(mesh_shape, box_L)
+            u_k = np.exp(-0.5 * ((kmag - k0) / width) ** 2)
+            u_k[0, 0, 0] = 0.0
+        return cls(u_k=jnp.asarray(np.asarray(u_k, np.float32)),
+                   mesh_shape=mesh_shape, n_real=n_real, name=name)
+
+    @property
+    def attr_name(self) -> str:
+        return f"mesh_{self.name}"
+
+    @property
+    def log_name(self) -> str:
+        return f"cv_{self.name}"
+
+    def value(self, state: PackedState, system: System) -> jax.Array:
+        nx, ny, nz = self.mesh_shape
+        w = state.attrs[self.attr_name]
+        dims = jnp.asarray([nx, ny, nz], jnp.float32)
+        rho = jnp.zeros(nx * ny * nz, jnp.float32)
+        # per-axis mesh coords from SoA components (no (Npad, 3) array)
+        fr, i0, t = [], [], []
+        for d, n_d in enumerate((nx, ny, nz)):
+            f = (state.r[d] / state.box.L[d] + 0.5) * n_d
+            base = jnp.floor(f - 0.5)
+            t.append(f - 0.5 - base)
+            i0.append(base.astype(jnp.int32))
+        for cx_ in (0, 1):
+            for cy_ in (0, 1):
+                for cz_ in (0, 1):
+                    ww = (w * (t[0] if cx_ else 1.0 - t[0])
+                            * (t[1] if cy_ else 1.0 - t[1])
+                            * (t[2] if cz_ else 1.0 - t[2]))
+                    ix = jnp.mod(i0[0] + cx_, nx)
+                    iy = jnp.mod(i0[1] + cy_, ny)
+                    iz = jnp.mod(i0[2] + cz_, nz)
+                    rho = rho.at[(ix * ny + iy) * nz + iz].add(ww)
+        rho_k = jnp.fft.fftn(rho.reshape(nx, ny, nz))
+        return jnp.sum(jnp.abs(rho_k) ** 2 * self.u_k) / self.n_real

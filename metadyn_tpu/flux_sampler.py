@@ -97,6 +97,7 @@ class FluxTemperedSampler:
             (state, aux, flux), _ = jax.lax.scan(
                 block, (carry.state, carry.aux, carry.flux),
                 jnp.arange(n_blocks))
+            state = engine.refresh_energy(state, aux)
             new = FluxCarry(state, aux, flux, carry.key, carry.step + stride)
             s = cv_stack(cvs, state, system)
             metrics = {"cv": s, **engine.metrics(state, aux)}

@@ -50,6 +50,12 @@ class PackedSpec:
     r_cut: float = struct.field(pytree_node=False)
     skin: float = struct.field(pytree_node=False)
     shift_energy: bool = struct.field(pytree_node=False, default=True)
+    # FENE bead-spring bonds (None = no bonds).  Bonded pairs are matched
+    # in-kernel via per-slot partner pids ('bp0'/'bp1' attrs) and get the
+    # FENE+WCA interaction INSTEAD of the pair potential — HOOMD's default
+    # bond exclusion, with the Kremer–Grest convention.
+    fene_k: float = struct.field(pytree_node=False, default=None)
+    fene_r0: float = struct.field(pytree_node=False, default=None)
 
     @property
     def n_cells(self) -> int:
@@ -64,9 +70,15 @@ class PackedSpec:
     def r_list(self) -> float:
         return self.r_cut + self.skin
 
+    @property
+    def has_bonds(self) -> bool:
+        return self.fene_k is not None
+
     @classmethod
     def create(cls, box_L, n_particles: int, r_cut: float, skin: float = 0.5,
-               cap: Optional[int] = None, shift_energy: bool = True) -> "PackedSpec":
+               cap: Optional[int] = None, shift_energy: bool = True,
+               fene_k: Optional[float] = None,
+               fene_r0: Optional[float] = None) -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
             L = np.repeat(L, 3)
@@ -80,7 +92,8 @@ class PackedSpec:
             mean_occ = n_particles / n_cells
             cap = max(4, int(np.ceil(mean_occ * 2.2)))
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
-                   r_cut=r_cut, skin=skin, shift_energy=shift_energy)
+                   r_cut=r_cut, skin=skin, shift_energy=shift_energy,
+                   fene_k=fene_k, fene_r0=fene_r0)
 
 
 @struct.dataclass
@@ -406,6 +419,23 @@ def _roll_offsets(spec: PackedSpec):
     return out
 
 
+def _fene_wca_pair(r2s, eps, sig, spec):
+    """FENE + built-in WCA (Kremer–Grest) pair energy/coef; replaces the
+    plain pair term for bonded pairs."""
+    r0 = spec.fene_r0
+    k = spec.fene_k
+    x = jnp.minimum(r2s / (r0 * r0), 0.99)
+    e_f = -0.5 * k * r0 * r0 * jnp.log1p(-x)
+    coef_f = -k / (1.0 - x)
+    rc2w = (2.0 ** (1.0 / 3.0)) * sig * sig
+    in_w = r2s < rc2w
+    s2 = sig * sig / r2s
+    s6 = s2 * s2 * s2
+    e_w = jnp.where(in_w, 4.0 * eps * (s6 * s6 - s6) + eps, 0.0)
+    coef_w = jnp.where(in_w, 4.0 * eps * (12.0 * s6 * s6 - 6.0 * s6) / r2s, 0.0)
+    return e_f + e_w, coef_f + coef_w
+
+
 def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
     """LJ pair forces via the 27-offset roll method (see module docstring).
 
@@ -427,6 +457,11 @@ def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
     xi = [x4[d].reshape(cap, C)[None, :, :] for d in range(3)]       # (1, capi, C)
     se_i = se4.reshape(cap, C)[None, :, :]
     hs_i = hs4.reshape(cap, C)[None, :, :]
+    if spec.has_bonds:
+        view = lambda a: a.reshape(cap, cx, cy, cz)
+        pid4 = view(state.pid.astype(jnp.float32).reshape(cap, C))
+        bp0_i = state.attrs["bp0"].reshape(cap, C)[None, :, :]
+        bp1_i = state.attrs["bp1"].reshape(cap, C)[None, :, :]
 
     for (o, ushift) in _roll_offsets(spec):
         roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
@@ -455,6 +490,14 @@ def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
         coef = 4.0 * eps * (12.0 * s6 * s6 - 6.0 * s6) / r2s
         e = jnp.where(inside, e, 0.0)
         coef = jnp.where(inside, coef, 0.0)
+        if spec.has_bonds:
+            # bp attrs store partner_pid+1 (0 = none) so zero-filled vacant
+            # slots can never match particle 0
+            pid_j = roll(pid4).reshape(cap, C)[:, None, :] + 1.0
+            bonded = ((pid_j == bp0_i) | (pid_j == bp1_i)) & inside
+            e_b, coef_b = _fene_wca_pair(r2s, eps, sig, spec)
+            e = jnp.where(bonded, e_b, e)
+            coef = jnp.where(bonded, coef_b, coef)
         for d in range(3):
             fx[d] = fx[d] + jnp.sum(coef * dx[d], axis=0)
         e_tot = e_tot + jnp.sum(e)
@@ -481,3 +524,21 @@ def packed_temperature(state: PackedState, spec: PackedSpec,
     ke = 0.5 * mass * jnp.sum((state.v * state.v) * valid[None, :])
     dof = max(3 * spec.n_real - 3, 3)
     return 2.0 * ke / dof
+
+
+def bond_partner_attrs(bonds: np.ndarray, n: int) -> dict:
+    """Per-particle FENE partner attrs for the packed engine.
+
+    Linear-topology limit: ≤ 2 bonds per particle (bead-spring chains);
+    encoded as partner_pid+1 with 0 = no partner (vacant-safe)."""
+    bp = np.zeros((n, 2), np.float32)
+    cnt = np.zeros(n, np.int32)
+    for a, b in np.asarray(bonds):
+        for x, y in ((a, b), (b, a)):
+            if cnt[x] >= 2:
+                raise ValueError(
+                    f"particle {x} has >2 bonds; packed engine supports "
+                    "linear chains (use the particle-order engines)")
+            bp[x, cnt[x]] = y + 1
+            cnt[x] += 1
+    return {"bp0": bp[:, 0], "bp1": bp[:, 1]}

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import PackedSpec, PackedState, _roll_offsets
+from .packed import PackedSpec, PackedState, _roll_offsets, _fene_wca_pair
 
 
 def _rolled_stacks(state: PackedState, spec: PackedSpec):
@@ -51,18 +51,26 @@ def _rolled_stacks(state: PackedState, spec: PackedSpec):
             for (o, _) in offs
         ])                                                    # (27, cap, C)
         stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
-    for name in ("se", "hs"):
-        a4 = view(state.attrs[name].reshape(cap, C))
+    extra = [state.attrs["se"], state.attrs["hs"]]
+    if spec.has_bonds:
+        extra.append(state.pid.astype(jnp.float32))
+    for arr in extra:
+        a4 = view(arr.reshape(cap, C))
         stacks.append(jnp.stack([
             jnp.roll(a4, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3)).reshape(cap, C)
             for (o, _) in offs
         ]))
-    return stacks  # xj, yj, zj, sej, hsj
+    return stacks  # xj, yj, zj, sej, hsj[, pidj]
 
 
-def _kernel(xi, yi, zi, se, hs,
-            xj, yj, zj, sej, hsj,
-            fx, fy, fz, ew, *, cap: int, rc2: float, shift_energy: bool):
+def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
+    if spec is not None and spec.has_bonds:
+        (xi, yi, zi, se, hs, bp0, bp1,
+         xj, yj, zj, sej, hsj, pidj, fx, fy, fz, ew) = refs
+    else:
+        (xi, yi, zi, se, hs,
+         xj, yj, zj, sej, hsj, fx, fy, fz, ew) = refs
+        bp0 = bp1 = pidj = None
     ct = pl.program_id(0)
     o = pl.program_id(1)
 
@@ -83,9 +91,12 @@ def _kernel(xi, yi, zi, se, hs,
     z_i = zi[...]
     se_i = se[...]
     hs_i = hs[...]
+    if bp0 is not None:
+        bp0_i = bp0[...]
+        bp1_i = bp1[...]
     z = jnp.zeros_like(x_i)
 
-    def pair_row(xr, yr, zr, ser, hsr):
+    def pair_row(xr, yr, zr, ser, hsr, pidr=None):
         """One partner row (1, CT) against all i rows (cap, CT)."""
         dx = x_i - xr
         dy = y_i - yr
@@ -104,6 +115,13 @@ def _kernel(xi, yi, zi, se, hs,
             sc6 = sc2 * sc2 * sc2
             e = e - jnp.where(inside, 4.0 * eps * (sc6 * sc6 - sc6), 0.0)
         coef = 4.0 * eps * (12.0 * s12 - 6.0 * s6) * inv
+        if pidr is not None:
+            # bp attrs are partner_pid+1 (0 = none) — vacant-safe
+            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & inside
+            r2s = jnp.where(inside, r2, 1.0)
+            e_b, coef_b = _fene_wca_pair(r2s, eps, sig, spec)
+            e = jnp.where(bonded, e_b, e)
+            coef = jnp.where(bonded, coef_b, coef)
         return coef, dx, dy, dz, e, r2
 
     # 8-row sublane-aligned slabs; static unroll inside a slab
@@ -118,10 +136,13 @@ def _kernel(xi, yi, zi, se, hs,
         zs = zj[0, pl.ds(j0, CH), :]
         ss = sej[0, pl.ds(j0, CH), :]
         hss = hsj[0, pl.ds(j0, CH), :]
+        if pidj is not None:
+            ps = pidj[0, pl.ds(j0, CH), :]
         for k in range(CH):
             coef, dx, dy, dz, e, r2 = pair_row(
                 xs[k, :][None, :], ys[k, :][None, :], zs[k, :][None, :],
-                ss[k, :][None, :], hss[k, :][None, :])
+                ss[k, :][None, :], hss[k, :][None, :],
+                ps[k, :][None, :] if pidj is not None else None)
             afx = afx + coef * dx
             afy = afy + coef * dy
             afz = afz + coef * dz
@@ -160,12 +181,18 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
         pads[c_axis] = (0, Cpad - C)
         return jnp.pad(a, pads)
 
-    xj, yj, zj, sej, hsj = [pad(s, 1, 2) for s in _rolled_stacks(state, spec)]
+    stacks = [pad(s, 1, 2) for s in _rolled_stacks(state, spec)]
     xi = pad(state.r[0].reshape(cap, C), 0, 1)
     yi = pad(state.r[1].reshape(cap, C), 0, 1)
     zi = pad(state.r[2].reshape(cap, C), 0, 1)
     se = pad(state.attrs["se"].reshape(cap, C), 0, 1)
     hs = pad(state.attrs["hs"].reshape(cap, C), 0, 1)
+    const_in = [xi, yi, zi, se, hs]
+    if spec.has_bonds:
+        # pad partner pids with -1 (never matches a real pid)
+        bp0 = pad(state.attrs["bp0"].reshape(cap, C), 0, 1)
+        bp1 = pad(state.attrs["bp1"].reshape(cap, C), 0, 1)
+        const_in += [bp0, bp1]
 
     # grid order (ct, o): the offset axis is INNERMOST so the revisited
     # force-accumulator blocks are revisited on consecutive grid steps —
@@ -177,11 +204,11 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
                              memory_space=pltpu.VMEM)
     kern = functools.partial(
         _kernel, cap=cap8, rc2=float(spec.r_cut) ** 2,
-        shift_energy=spec.shift_energy)
+        shift_energy=spec.shift_energy, spec=spec if spec.has_bonds else None)
     fx, fy, fz, ew = pl.pallas_call(
         kern,
         grid=(n_ct, 27),
-        in_specs=[const_spec] * 5 + [slab_spec] * 5,
+        in_specs=[const_spec] * len(const_in) + [slab_spec] * len(stacks),
         out_specs=[
             pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
             pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
@@ -194,7 +221,7 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
             jax.ShapeDtypeStruct((cap8, Cpad), jnp.float32),
             jax.ShapeDtypeStruct((1, 128), jnp.float32),
         ],
-    )(xi, yi, zi, se, hs, xj, yj, zj, sej, hsj)
+    )(*const_in, *stacks)
     force = jnp.stack([fx[:cap, :C].reshape(-1),
                        fy[:cap, :C].reshape(-1),
                        fz[:cap, :C].reshape(-1)])

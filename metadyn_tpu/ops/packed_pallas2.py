@@ -1,0 +1,270 @@
+"""Newton-halved Pallas pair-force kernel (v2 of ops/packed_pallas.py).
+
+Newton's 3rd law halves the pair sweep: only the self offset plus the 13
+lexicographically-positive neighbor offsets are enumerated; each pair
+contributes +coef·dr to the i row and −coef·dr to the j row.  The j-side
+forces are accumulated in the ROLLED frame (one (cap, C) stack slot per
+offset) and rolled back + summed in a cheap XLA post-pass.
+
+Energy/virial weights: non-self offsets count each unordered pair once
+(weight 1); the self offset still enumerates both orders (weight ½).
+
+Everything else (C-tiling, 8-row slabs, consecutive revisiting, bonds via
+partner-pid matching) matches packed_pallas.py, which remains the
+reference implementation for cross-checks.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .packed import PackedSpec, PackedState, _fene_wca_pair
+
+
+def _half_offsets():
+    """Self + the 13 offsets with (ox, oy, oz) lexicographically positive."""
+    offs = [(0, 0, 0)]
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                if (ox, oy, oz) > (0, 0, 0):
+                    offs.append((ox, oy, oz))
+    return offs
+
+
+def _half_stacks(state: PackedState, spec: PackedSpec):
+    """(14, cap, C) rolled+shifted partner stacks for the half-offset set."""
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    dims = (cx, cy, cz)
+    offs = _half_offsets()
+    ix, iy, iz = np.unravel_index(np.arange(C), dims)
+    view = lambda a: a.reshape(cap, cx, cy, cz)
+
+    ushifts = []
+    for (ox, oy, oz) in offs:
+        sx = ((ix + ox) // cx).astype(np.float32)
+        sy = ((iy + oy) // cy).astype(np.float32)
+        sz = ((iz + oz) // cz).astype(np.float32)
+        ushifts.append(np.stack([sx, sy, sz]))
+    ushift = jnp.asarray(np.stack(ushifts))     # (14, 3, C)
+
+    stacks = []
+    for d in range(3):
+        x4 = view(state.r[d].reshape(cap, C))
+        rolled = jnp.stack([
+            jnp.roll(x4, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3)).reshape(cap, C)
+            for o in offs
+        ])
+        stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
+    extra = [state.attrs["se"], state.attrs["hs"]]
+    if spec.has_bonds:
+        extra.append(state.pid.astype(jnp.float32))
+    for arr in extra:
+        a4 = view(arr.reshape(cap, C))
+        stacks.append(jnp.stack([
+            jnp.roll(a4, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3)).reshape(cap, C)
+            for o in offs
+        ]))
+    return stacks
+
+
+def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
+            with_energy: bool = True):
+    has_bonds = spec is not None and spec.has_bonds
+    if has_bonds:
+        (xi, yi, zi, se, hs, bp0, bp1,
+         xj, yj, zj, sej, hsj, pidj,
+         fx, fy, fz, fjx, fjy, fjz, ew) = refs
+    else:
+        (xi, yi, zi, se, hs,
+         xj, yj, zj, sej, hsj,
+         fx, fy, fz, fjx, fjy, fjz, ew) = refs
+        bp0 = bp1 = pidj = None
+    ct = pl.program_id(0)
+    o = pl.program_id(1)
+
+    @pl.when(o == 0)
+    def _init():
+        fx[...] = jnp.zeros_like(fx)
+        fy[...] = jnp.zeros_like(fy)
+        fz[...] = jnp.zeros_like(fz)
+
+    @pl.when((o == 0) & (ct == 0))
+    def _init_ew():
+        ew[...] = jnp.zeros_like(ew)
+
+    x_i = xi[...]
+    y_i = yi[...]
+    z_i = zi[...]
+    se_i = se[...]
+    hs_i = hs[...]
+    if has_bonds:
+        bp0_i = bp0[...]
+        bp1_i = bp1[...]
+    z = jnp.zeros_like(x_i)
+    # non-self offsets: each unordered pair once (weight 1); self: both
+    # orders enumerated (weight ½), and no j-side force (i gets both)
+    is_self = o == 0
+    we = jnp.where(is_self, 0.5, 1.0)
+    wj = jnp.where(is_self, 0.0, 1.0)
+
+    def pair_row(xr, yr, zr, ser, hsr, pidr):
+        dx = x_i - xr
+        dy = y_i - yr
+        dz = z_i - zr
+        r2 = dx * dx + dy * dy + dz * dz
+        eps = se_i * ser
+        sig = hs_i + hsr
+        inside = (r2 < rc2) & (r2 > 1e-12)
+        inv = jnp.where(inside, 1.0, 0.0) / jnp.where(inside, r2, 1.0)
+        s2 = sig * sig * inv
+        s6 = s2 * s2 * s2
+        s12 = s6 * s6
+        if with_energy:
+            e = 4.0 * eps * (s12 - s6)
+            if shift_energy:
+                sc2 = sig * sig * (1.0 / rc2)
+                sc6 = sc2 * sc2 * sc2
+                e = e - jnp.where(inside, 4.0 * eps * (sc6 * sc6 - sc6), 0.0)
+        else:
+            e = None
+        coef = 4.0 * eps * (12.0 * s12 - 6.0 * s6) * inv
+        if pidr is not None:
+            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & inside
+            r2s = jnp.where(inside, r2, 1.0)
+            e_b, coef_b = _fene_wca_pair(r2s, eps, sig, spec)
+            if with_energy:
+                e = jnp.where(bonded, e_b, e)
+            coef = jnp.where(bonded, coef_b, coef)
+        return coef, dx, dy, dz, e, r2
+
+    CH = 8
+    assert cap % CH == 0
+
+    def chunk_body(jc, carry):
+        afx, afy, afz, ae, aw = carry
+        j0 = pl.multiple_of(jc * CH, CH)
+        xs = xj[0, pl.ds(j0, CH), :]
+        ys = yj[0, pl.ds(j0, CH), :]
+        zs = zj[0, pl.ds(j0, CH), :]
+        ss = sej[0, pl.ds(j0, CH), :]
+        hss = hsj[0, pl.ds(j0, CH), :]
+        if pidj is not None:
+            ps = pidj[0, pl.ds(j0, CH), :]
+        for k in range(CH):
+            coef, dx, dy, dz, e, r2 = pair_row(
+                xs[k, :][None, :], ys[k, :][None, :], zs[k, :][None, :],
+                ss[k, :][None, :], hss[k, :][None, :],
+                ps[k, :][None, :] if pidj is not None else None)
+            afx = afx + coef * dx
+            afy = afy + coef * dy
+            afz = afz + coef * dz
+            # j-row reaction forces: single-row stores into the rolled-frame
+            # block (measured faster than one-hot carry accumulation)
+            fjx[0, j0 + k, :] = -wj * jnp.sum(coef * dx, axis=0)
+            fjy[0, j0 + k, :] = -wj * jnp.sum(coef * dy, axis=0)
+            fjz[0, j0 + k, :] = -wj * jnp.sum(coef * dz, axis=0)
+            if with_energy:
+                ae = ae + jnp.sum(e)
+                aw = aw + jnp.sum(coef * r2)
+        return afx, afy, afz, ae, aw
+
+    afx, afy, afz, ae, aw = jax.lax.fori_loop(
+        0, cap // CH, chunk_body,
+        (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+
+    fx[...] += afx
+    fy[...] += afy
+    fz[...] += afz
+    if with_energy:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        ew[...] += (jnp.where(lane == 0, we * ae, 0.0)
+                    + jnp.where(lane == 1, we * aw, 0.0))
+
+
+def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
+                            with_energy: bool = True) -> PackedState:
+    """Newton-halved drop-in for packed_lj_force_pallas (TPU only)."""
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    cap8 = ((cap + 7) // 8) * 8
+    ct_budget = max(128, (11 * 2**20) // (90 * 4 * cap8) // 128 * 128)
+    n_ct = max(1, -(-C // ct_budget))
+    CT = ((-(-C // n_ct) + 127) // 128) * 128
+    Cpad = n_ct * CT
+
+    def pad(a, cap_axis, c_axis):
+        pads = [(0, 0)] * a.ndim
+        pads[cap_axis] = (0, cap8 - cap)
+        pads[c_axis] = (0, Cpad - C)
+        return jnp.pad(a, pads)
+
+    stacks = [pad(s, 1, 2) for s in _half_stacks(state, spec)]
+    xi = pad(state.r[0].reshape(cap, C), 0, 1)
+    yi = pad(state.r[1].reshape(cap, C), 0, 1)
+    zi = pad(state.r[2].reshape(cap, C), 0, 1)
+    se = pad(state.attrs["se"].reshape(cap, C), 0, 1)
+    hs = pad(state.attrs["hs"].reshape(cap, C), 0, 1)
+    const_in = [xi, yi, zi, se, hs]
+    if spec.has_bonds:
+        const_in += [pad(state.attrs["bp0"].reshape(cap, C), 0, 1),
+                     pad(state.attrs["bp1"].reshape(cap, C), 0, 1)]
+
+    const_spec = pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct),
+                              memory_space=pltpu.VMEM)
+    slab_spec = pl.BlockSpec((1, cap8, CT), lambda ct, o: (o, 0, ct),
+                             memory_space=pltpu.VMEM)
+    fj_spec = pl.BlockSpec((1, cap8, CT), lambda ct, o: (o, 0, ct),
+                           memory_space=pltpu.VMEM)
+    kern = functools.partial(
+        _kernel, cap=cap8, rc2=float(spec.r_cut) ** 2,
+        shift_energy=spec.shift_energy, spec=spec if spec.has_bonds else None,
+        with_energy=with_energy)
+    fx, fy, fz, fjx, fjy, fjz, ew = pl.pallas_call(
+        kern,
+        grid=(n_ct, 14),
+        in_specs=[const_spec] * len(const_in) + [slab_spec] * len(stacks),
+        out_specs=[
+            pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct), memory_space=pltpu.VMEM),
+            fj_spec, fj_spec, fj_spec,
+            pl.BlockSpec((1, 128), lambda ct, o: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap8, Cpad), jnp.float32),
+            jax.ShapeDtypeStruct((cap8, Cpad), jnp.float32),
+            jax.ShapeDtypeStruct((cap8, Cpad), jnp.float32),
+            jax.ShapeDtypeStruct((14, cap8, Cpad), jnp.float32),
+            jax.ShapeDtypeStruct((14, cap8, Cpad), jnp.float32),
+            jax.ShapeDtypeStruct((14, cap8, Cpad), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.float32),
+        ],
+    )(*const_in, *stacks)
+
+    # roll the j-frame reaction forces back to their true cells and sum
+    offs = _half_offsets()
+    view = lambda a: a[:cap, :C].reshape(cap, cx, cy, cz)
+    comps = []
+    for fj, fi in ((fjx, fx), (fjy, fy), (fjz, fz)):
+        tot = fi[:cap, :C]
+        for oi, o in enumerate(offs[1:], start=1):
+            tot = tot + jnp.roll(view(fj[oi]),
+                                 shift=(o[0], o[1], o[2]),
+                                 axis=(1, 2, 3)).reshape(cap, C)
+        comps.append(tot.reshape(-1))
+    if with_energy:
+        return state.replace(
+            f=jnp.stack(comps),
+            potential_energy=ew[0, 0],
+            virial=ew[0, 1],
+        )
+    # energy skipped for inner MD steps — refreshed at stride boundaries
+    return state.replace(f=jnp.stack(comps))

@@ -71,6 +71,7 @@ def make_walker_chunk(
             return (st, ax), None
 
         (state, aux), _ = jax.lax.scan(block, (state, aux), jnp.arange(n_blocks))
+        state = engine.refresh_energy(state, aux)
         s = cv_stack(cvs, state, system)
         # WT height against the pre-stride grid (reference partition semantics)
         h = hill_height(hills, bias, s)

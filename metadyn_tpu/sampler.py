@@ -69,6 +69,9 @@ class _CallableEngine:
     def with_positions(self, state, r):
         return state.replace(pos=r)
 
+    def refresh_energy(self, state, aux):
+        return state
+
     def metrics(self, state, aux):
         from .core.state import temperature
         return {
@@ -134,6 +137,7 @@ def make_stride_chunk(
 
         (state, aux), _ = jax.lax.scan(
             block, (carry.state, carry.aux), jnp.arange(n_blocks))
+        state = engine.refresh_energy(state, aux)
         new_step = carry.step + hills.stride
         s = cv_stack(cvs, state, system)
         new_bias, rec = deposit(hills, bias, s, new_step)

@@ -135,3 +135,26 @@ def test_packed_langevin_equilibrates(key):
     assert not any_ovf
     assert 0.8 < T < 1.25, T
     assert np.isfinite(float(st.potential_energy))
+
+
+def test_packed_pallas2_interpret_matches_xla():
+    """Newton-halved kernel (packed_pallas2) vs the full-sweep oracle."""
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    orig = pl.pallas_call
+    pp2.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        pos, n, box, spec, st, ovf = _fcc_case()
+        a = packed_lj_force(st, spec)
+        b = pp2.packed_lj_force_pallas2(st, spec)
+        np.testing.assert_allclose(float(a.potential_energy),
+                                   float(b.potential_energy), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(float(a.virial), float(b.virial), rtol=1e-3)
+        # force-only mode: same forces, energy skipped
+        c = pp2.packed_lj_force_pallas2(st, spec, with_energy=False)
+        np.testing.assert_allclose(np.asarray(b.f), np.asarray(c.f),
+                                   rtol=1e-5, atol=1e-5)
+    finally:
+        pp2.pl.pallas_call = orig

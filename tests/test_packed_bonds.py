@@ -1,0 +1,139 @@
+"""Packed-engine bonded forces (FENE bead-spring) vs the particle-order
+oracle — the Config 2/5 polymer-melt capability (BASELINE.json:8,11)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.state import make_state, make_system, thermal_velocities
+from metadyn_tpu.core.engine import AllPairsEngine
+from metadyn_tpu.core.packed_engine import PackedEngine
+from metadyn_tpu.ops.packed import (
+    PackedSpec, pack, packed_lj_force, bond_partner_attrs, repack_incremental,
+    unpack_positions,
+)
+from metadyn_tpu.ops.pairs import wca_tables, lj_kernel, soft_tables, soft_kernel
+from metadyn_tpu.ops.bonds import FENEBondParams
+from metadyn_tpu.core.forcefield import ForceField
+from metadyn_tpu.integrate.langevin import make_langevin_step
+from metadyn_tpu.integrate.packed import make_packed_langevin_step
+from metadyn_tpu.integrate.base import run_steps
+from metadyn_tpu.utils.lattice import polymer_melt
+
+
+def _relaxed_melt(n_chains=20, chain_len=10, L=12.0, seed=0):
+    """Build a melt and push off overlaps with the soft potential."""
+    pos, bonds = polymer_melt(n_chains, chain_len, L, seed=seed)
+    n = pos.shape[0]
+    system = make_system(n, bonds=bonds)
+    ff = ForceField(
+        pair_params=soft_tables(1, A=100.0, r_cut=1.0), pair_kernel=soft_kernel,
+        row_block=n,
+        fene=FENEBondParams(k=jnp.asarray([30.0]), r0=jnp.asarray([1.5]),
+                            epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0])))
+    fa = ff.bind(system)
+    state = fa(make_state(pos, Box.cubic(L)))
+    step = make_langevin_step(fa, system, dt=0.002, kT=1.0, gamma=2.0)
+    state = jax.jit(lambda s: run_steps(step, s, jax.random.PRNGKey(9), 800))(state)
+    return np.asarray(state.unwrapped_pos()), bonds, system
+
+
+def test_packed_bonded_force_matches_oracle():
+    pos, bonds, system = _relaxed_melt()
+    n = pos.shape[0]
+    L = 12.0
+    box = Box.cubic(L)
+    fene = FENEBondParams(k=jnp.asarray([30.0]), r0=jnp.asarray([1.5]),
+                          epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0]))
+    # oracle: all-pairs WCA EXCLUDING bonded pairs + FENE(+WCA) on bonds.
+    # The packed engine's convention: bonded pairs get FENE+WCA instead of
+    # the pair term — identical total because FENE includes its own WCA.
+    from metadyn_tpu.ops.pairs import all_pairs_force
+    from metadyn_tpu.ops.bonds import fene_bond_force
+    types = jnp.zeros(n, jnp.int32)
+    wca = wca_tables(1)
+    r_all = all_pairs_force(jnp.asarray(pos), types, box, lj_kernel, wca,
+                            row_block=n)
+    # subtract the bonded pairs' WCA (they're excluded in the packed engine)
+    i, j = bonds[:, 0], bonds[:, 1]
+    from metadyn_tpu.core.box import minimum_image
+    dr = minimum_image(jnp.asarray(pos)[i] - jnp.asarray(pos)[j], box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    e_b, c_b = lj_kernel(r2, types[i], types[j], wca)
+    f_sub = jnp.zeros((n, 3)).at[i].add(c_b[:, None] * dr).at[j].add(-c_b[:, None] * dr)
+    r_fene = fene_bond_force(jnp.asarray(pos), jnp.asarray(bonds),
+                             jnp.zeros(len(bonds), jnp.int32), box, fene)
+    e_ref = float(r_all.energy - jnp.sum(e_b) + r_fene.energy)
+    f_ref = np.asarray(r_all.force - f_sub + r_fene.force)
+
+    spec = PackedSpec.create(L, n, r_cut=2.0 ** (1 / 6), skin=0.4, cap=32,
+                             fene_k=30.0, fene_r0=1.5)
+    st, ovf = pack(pos, box, spec, types, jnp.ones(n), jnp.ones(n),
+                   extra_attrs=bond_partner_attrs(bonds, n))
+    assert not bool(ovf)
+    st = packed_lj_force(st, spec)
+    np.testing.assert_allclose(float(st.potential_energy), e_ref, rtol=1e-4)
+    f_packed = np.asarray(st.f[:, st.slot_of].T)
+    np.testing.assert_allclose(f_packed, f_ref, rtol=1e-3, atol=1e-3)
+
+
+def test_packed_pallas_bonds_interpret():
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas as pp
+    pos, bonds, system = _relaxed_melt(n_chains=10, chain_len=8)
+    n = pos.shape[0]
+    L = 12.0
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.0 ** (1 / 6), skin=0.4, cap=32,
+                             fene_k=30.0, fene_r0=1.5)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs=bond_partner_attrs(bonds, n))
+    a = packed_lj_force(st, spec)
+    orig = pl.pallas_call
+    pp.pl.pallas_call = lambda *x, **k: orig(*x, **{**k, "interpret": True})
+    try:
+        b = pp.packed_lj_force_pallas(st, spec)
+    finally:
+        pp.pl.pallas_call = orig
+    np.testing.assert_allclose(float(a.potential_energy),
+                               float(b.potential_energy), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_packed_melt_md_stable():
+    """Short packed-engine melt MD: bonds hold, no losses, finite."""
+    pos, bonds, system = _relaxed_melt()
+    n = pos.shape[0]
+    L = 12.0
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.0 ** (1 / 6), skin=0.4, cap=32,
+                             fene_k=30.0, fene_r0=1.5)
+    engine = PackedEngine(spec, use_pallas=False)
+    st, ovf = engine.pack_state(pos, box, jnp.zeros(n, jnp.int32),
+                                eps_i=jnp.ones(n), sigma_i=jnp.ones(n),
+                                extra_attrs=bond_partner_attrs(bonds, n))
+    assert not bool(ovf)
+    st, aux = engine.init(st)
+    step = make_packed_langevin_step(
+        lambda s: engine.force_into(s, None), dt=0.003, kT=1.0, gamma=1.0)
+
+    @jax.jit
+    def run(st, aux, key):
+        def body(c, i):
+            s2, a2 = engine.rebuild(*c)
+            return (step(s2, jax.random.fold_in(key, i)), a2), None
+        return jax.lax.scan(body, (st, aux), jnp.arange(300))[0]
+
+    st, aux = run(st, aux, jax.random.PRNGKey(1))
+    assert int((st.pid < n).sum()) == n
+    assert not bool(aux.overflow)
+    assert np.isfinite(float(st.potential_energy))
+    # bond lengths all inside the FENE range
+    up = np.asarray(unpack_positions(st, spec))
+    im = np.asarray(st.image[:, st.slot_of].T)
+    up = up + im * L
+    d = np.linalg.norm(up[bonds[:, 0]] - up[bonds[:, 1]], axis=1)
+    assert d.max() < 1.5, d.max()
