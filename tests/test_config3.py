@@ -23,7 +23,8 @@ def _packed_fcc(ncell=6, a=1.7, r_cut=2.5, skin=0.5):
     n = pos.shape[0]
     L = ncell * a
     box = Box.cubic(L)
-    spec = PackedSpec.create(L, n, r_cut=r_cut, skin=skin)
+    # tight-ish cap keeps the CPU (cap, cap, C) sweeps affordable in CI
+    spec = PackedSpec.create(L, n, r_cut=r_cut, skin=skin, cap=48)
     st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
                    jnp.ones(n), jnp.ones(n))
     assert not bool(ovf)
@@ -64,7 +65,11 @@ def test_packed_order_cvs_differentiable():
         assert np.all(np.isfinite(np.asarray(g))), cv.name
 
 
-def test_config3_2d_cv_mtd_runs():
+@pytest.mark.parametrize("n_steps,n_hills,marker", [
+    pytest.param(20, 1, "smoke", id="smoke"),
+    pytest.param(100, 5, "full", id="full", marks=pytest.mark.slow),
+])
+def test_config3_2d_cv_mtd_runs(n_steps, n_hills, marker):
     """64k-shaped (here small) 2D-CV WT-MTD: Q6 × coordination grid bias with
     forces through both CVs — the Config-3 capability slice."""
     pos, n, L, box, spec, st = _packed_fcc(ncell=6, a=1.75)
@@ -85,8 +90,8 @@ def test_config3_2d_cv_mtd_runs():
         walls=WallSpec.at_grid_edges(grid, k=200.0),
         seed=0,
     )
-    hist = s.run(200)
-    assert int(s.bias.n_hills) == 10
+    hist = s.run(n_steps)
+    assert int(s.bias.n_hills) == n_hills
     m = hist[-1]
     assert np.isfinite(m["cv"]).all() and np.isfinite(m["potential_energy"])
     assert not m["nlist_overflow"]

@@ -149,16 +149,16 @@ def test_langevin_equipartition(key):
     state = make_state(pos, box)
     state = force_apply(state)
     step = make_langevin_step(force_apply, system, dt=0.005, kT=kT, gamma=2.0)
-    state = jax.jit(lambda s: run_steps(step, s, key, 2000))(state)  # equilibrate
+    state = jax.jit(lambda s: run_steps(step, s, key, 1500))(state)  # equilibrate
 
     # average T over sample windows
     temps = []
-    for i in range(10):
+    for i in range(8):
         state = jax.jit(lambda s, k: run_steps(step, s, k, 50))(
             state, jax.random.PRNGKey(100 + i))
         temps.append(float(temperature(state, system)))
     t_mean = np.mean(temps)
-    assert abs(t_mean - kT) / kT < 0.08, temps
+    assert abs(t_mean - kT) / kT < 0.1, temps
 
 
 def test_polymer_melt_builder():

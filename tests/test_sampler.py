@@ -48,27 +48,40 @@ def _double_well_sampler(tmp_hill=None, mode=WELL_TEMPERED, kT=0.6,
     )
 
 
+def _dw_fes_error(kT, transient, n_seg, seg, tmp_hill=None):
+    s = _double_well_sampler(tmp_hill=tmp_hill, kT=kT, W=0.15, deltaT=6.0)
+    x = s.grid_coords(0)
+    F_true = A_WELL * (x**2 - 1.0) ** 2
+    s.run(transient)
+    F_acc = np.zeros_like(x)
+    for _ in range(n_seg):
+        s.run(seg)
+        F_acc += s.free_energy(kT=kT)
+    F = F_acc / n_seg
+    m = np.abs(x) <= 1.2  # region the walker samples well
+    err = (F - F_true)[m]
+    err -= err.mean()  # FES defined up to a constant
+    return np.max(np.abs(err))
+
+
+@pytest.mark.slow
 def test_double_well_fes_oracle(tmp_path):
     """Well-tempered FES converges to the analytic double well ≤ 0.1 kT
     (BASELINE.md north-star tolerance).  Protocol: fill transient, then
     time-average the WT estimator — the standard variance-reduction for
     WT-MTD (the instantaneous estimator oscillates with each hill)."""
     kT = 0.6
-    hill_file = str(tmp_path / "HILLS")
-    s = _double_well_sampler(tmp_hill=hill_file, kT=kT, W=0.15, deltaT=6.0)
-    x = s.grid_coords(0)
-    F_true = A_WELL * (x**2 - 1.0) ** 2
-    s.run(400_000)  # transient fill
-    F_acc = np.zeros_like(x)
-    n_seg = 16
-    for _ in range(n_seg):
-        s.run(100_000)
-        F_acc += s.free_energy(kT=kT)
-    F = F_acc / n_seg
-    m = np.abs(x) <= 1.2  # region the walker samples well
-    err = (F - F_true)[m]
-    err -= err.mean()  # FES defined up to a constant
-    assert np.max(np.abs(err)) < 0.1 * kT, np.max(np.abs(err))
+    err = _dw_fes_error(kT, 400_000, 16, 100_000,
+                        tmp_hill=str(tmp_path / "HILLS"))
+    assert err < 0.1 * kT, err
+
+
+def test_double_well_fes_oracle_fast(tmp_path):
+    """Short-protocol version of the FES oracle for the default suite
+    (the ≤0.1 kT claim is the slow-marked test above)."""
+    kT = 0.6
+    err = _dw_fes_error(kT, 200_000, 4, 50_000)
+    assert err < 0.5 * kT, err
 
 
 def test_hill_log_and_offline_reconstruction(tmp_path):
@@ -139,9 +152,9 @@ def test_config1_lj_lamellar_standard():
             f, system, dt=0.004, kT=1.5, gamma=1.0),
         seed=3,
     )
-    hist = s.run(250)
-    assert len(hist) == 10
+    hist = s.run(150)
+    assert len(hist) == 6
     V = np.asarray(s.bias.grid.V)
-    assert np.all(np.isfinite(V)) and V.max() > 0.15
+    assert np.all(np.isfinite(V)) and V.max() > 0.1
     assert all(np.isfinite(m["cv"]).all() for m in hist)
-    assert int(s.bias.n_hills) == 10
+    assert int(s.bias.n_hills) == 6
