@@ -153,8 +153,11 @@ def _interp_weights(spec: GridSpec, s: jax.Array):
             f = t - i0
             i0 = jnp.clip(i0, 0, n - 1)
         else:
-            t = jnp.clip(t, 0.0, n - 1 - 1e-6)
-            i0 = jnp.floor(t).astype(jnp.int32)
+            # clamp the INDEX (not t by an epsilon that vanishes in f32):
+            # i0 ∈ [0, n−2] so the upper corner i0+1 is always a real point
+            t = jnp.clip(t, 0.0, jnp.float32(n - 1))
+            i0 = jnp.minimum(jnp.floor(t).astype(jnp.int32),
+                             jnp.int32(max(n - 2, 0)))
             f = t - i0
         idx.append(i0)
         frac.append(f)

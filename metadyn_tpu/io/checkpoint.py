@@ -46,11 +46,18 @@ def save_checkpoint(path: str, carry: Any, extra: dict | None = None) -> None:
 def load_checkpoint(path: str, template: Any) -> tuple[Any, dict]:
     """Restore a carry pytree using ``template`` for structure/dtypes.
 
-    Returns (carry, extras).  Leaf count must match the template (the
-    treedef string is kept for diagnostics only).
+    Returns (carry, extras).  The template's treedef must match the one
+    stored at save time — a coincidentally-equal leaf count with a
+    different structure would silently misassign arrays otherwise.
     """
     z = np.load(path, allow_pickle=False)
     leaves_t, treedef = jax.tree_util.tree_flatten(template)
+    saved_treedef = str(z["carry__treedef"])
+    if saved_treedef != str(treedef):
+        raise ValueError(
+            "checkpoint structure mismatch:\n"
+            f"  saved:    {saved_treedef}\n"
+            f"  template: {treedef}")
     leaves = []
     for i, leaf_t in enumerate(leaves_t):
         arr = z[f"carry__{i}"]

@@ -68,6 +68,13 @@ class CellSpec:
         if L.size == 1:
             L = np.repeat(L, 3)
         r_list = r_cut + skin
+        # Clamping to 3 cells per dim is SAFE: with exactly 3 cells the
+        # {-1,0,+1} stencil spans every cell of that dimension, so no true
+        # neighbor can be outside the 27-cell candidate set even when the
+        # cell width drops below r_list (the minimum-image distance filter
+        # culls the rest).  It merely degrades toward all-pairs cost.
+        # Differentially tested vs all-pairs at L < 3·r_list in
+        # tests/test_neighbor.py::test_neighbor_force_matches_all_pairs.
         cpd = tuple(max(3, int(np.floor(l / r_list))) for l in L)
         n_cells = int(np.prod(cpd))
         density = n_particles / float(np.prod(L))
@@ -138,9 +145,15 @@ def build_neighbor_list(
     rank = jnp.arange(n, dtype=jnp.int32) - jnp.searchsorted(
         sorted_cid, sorted_cid, side="left").astype(jnp.int32)
     cell_overflow = jnp.any(rank >= spec.cell_capacity)
-    table = jnp.full((spec.n_cells * spec.cell_capacity,), n, jnp.int32)
-    table = table.at[sorted_cid * spec.cell_capacity + rank].set(
-        order.astype(jnp.int32), mode="drop")                        # (C·cap,)
+    table_size = spec.n_cells * spec.cell_capacity
+    # overflow rows go to the explicit drop slot (index table_size): a
+    # rank >= cap must NOT land in the next cell's slot range where it
+    # would evict a legitimate particle
+    tbl_idx = jnp.where(rank < spec.cell_capacity,
+                        sorted_cid * spec.cell_capacity + rank, table_size)
+    table = jnp.full((table_size + 1,), n, jnp.int32)
+    table = table.at[tbl_idx].set(order.astype(jnp.int32), mode="drop")
+    table = table[:table_size]                                       # (C·cap,)
 
     # 27 neighbor cells per particle (periodic wrap)
     cpd = jnp.asarray(spec.cells_per_dim, jnp.int32)

@@ -492,16 +492,20 @@ def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
         coef = jnp.where(inside, coef, 0.0)
         if spec.has_bonds:
             # bp attrs store partner_pid+1 (0 = none) so zero-filled vacant
-            # slots can never match particle 0
+            # slots can never match particle 0.  Bond matching is NOT gated
+            # on the pair r_cut: a bond stretched past r_cut must keep its
+            # full FENE+WCA interaction (the pair cutoff only gates the
+            # plain LJ term), else the chain silently scissions.
             pid_j = roll(pid4).reshape(cap, C)[:, None, :] + 1.0
-            bonded = ((pid_j == bp0_i) | (pid_j == bp1_i)) & inside
-            e_b, coef_b = _fene_wca_pair(r2s, eps, sig, spec)
+            bonded = ((pid_j == bp0_i) | (pid_j == bp1_i)) & (r2 > 1e-12)
+            r2b = jnp.where(bonded, r2, 1.0)
+            e_b, coef_b = _fene_wca_pair(r2b, eps, sig, spec)
             e = jnp.where(bonded, e_b, e)
             coef = jnp.where(bonded, coef_b, coef)
         for d in range(3):
             fx[d] = fx[d] + jnp.sum(coef * dx[d], axis=0)
         e_tot = e_tot + jnp.sum(e)
-        w_tot = w_tot + jnp.sum(coef * r2s * inside)
+        w_tot = w_tot + jnp.sum(coef * r2)  # coef is zero outside active pairs
 
     force = jnp.stack([f.reshape(-1) for f in fx])
     return state.replace(

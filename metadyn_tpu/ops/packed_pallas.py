@@ -116,10 +116,12 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
             e = e - jnp.where(inside, 4.0 * eps * (sc6 * sc6 - sc6), 0.0)
         coef = 4.0 * eps * (12.0 * s12 - 6.0 * s6) * inv
         if pidr is not None:
-            # bp attrs are partner_pid+1 (0 = none) — vacant-safe
-            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & inside
-            r2s = jnp.where(inside, r2, 1.0)
-            e_b, coef_b = _fene_wca_pair(r2s, eps, sig, spec)
+            # bp attrs are partner_pid+1 (0 = none) — vacant-safe.  Not
+            # gated on the pair r_cut: a stretched bond keeps FENE+WCA
+            # (only the plain LJ term is cutoff-limited).
+            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & (r2 > 1e-12)
+            r2b = jnp.where(bonded, r2, 1.0)
+            e_b, coef_b = _fene_wca_pair(r2b, eps, sig, spec)
             e = jnp.where(bonded, e_b, e)
             coef = jnp.where(bonded, coef_b, coef)
         return coef, dx, dy, dz, e, r2
@@ -175,13 +177,20 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     CT = ((-(-C // n_ct) + 127) // 128) * 128
     Cpad = n_ct * CT
 
-    def pad(a, cap_axis, c_axis):
+    def pad(a, cap_axis, c_axis, fill=0.0):
         pads = [(0, 0)] * a.ndim
         pads[cap_axis] = (0, cap8 - cap)
         pads[c_axis] = (0, Cpad - C)
-        return jnp.pad(a, pads)
+        return jnp.pad(a, pads, constant_values=fill)
 
-    stacks = [pad(s, 1, 2) for s in _rolled_stacks(state, spec)]
+    stacks = _rolled_stacks(state, spec)
+    # pad the pidj stack with the vacant sentinel n_real: pid+1 = n_real+1
+    # can never match a bond-partner attr (bp ∈ {0, 1..n_real}), so padded
+    # rows never produce phantom FENE pulls
+    fills = [0.0] * len(stacks)
+    if spec.has_bonds:
+        fills[-1] = float(spec.n_real)
+    stacks = [pad(s, 1, 2, f) for s, f in zip(stacks, fills)]
     xi = pad(state.r[0].reshape(cap, C), 0, 1)
     yi = pad(state.r[1].reshape(cap, C), 0, 1)
     zi = pad(state.r[2].reshape(cap, C), 0, 1)
@@ -189,7 +198,7 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     hs = pad(state.attrs["hs"].reshape(cap, C), 0, 1)
     const_in = [xi, yi, zi, se, hs]
     if spec.has_bonds:
-        # pad partner pids with -1 (never matches a real pid)
+        # padded bp rows are 0 = "no partner", which never matches
         bp0 = pad(state.attrs["bp0"].reshape(cap, C), 0, 1)
         bp1 = pad(state.attrs["bp1"].reshape(cap, C), 0, 1)
         const_in += [bp0, bp1]

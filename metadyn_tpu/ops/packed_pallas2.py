@@ -137,9 +137,10 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
             e = None
         coef = 4.0 * eps * (12.0 * s12 - 6.0 * s6) * inv
         if pidr is not None:
-            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & inside
-            r2s = jnp.where(inside, r2, 1.0)
-            e_b, coef_b = _fene_wca_pair(r2s, eps, sig, spec)
+            # not gated on the pair r_cut: a stretched bond keeps FENE+WCA
+            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & (r2 > 1e-12)
+            r2b = jnp.where(bonded, r2, 1.0)
+            e_b, coef_b = _fene_wca_pair(r2b, eps, sig, spec)
             if with_energy:
                 e = jnp.where(bonded, e_b, e)
             coef = jnp.where(bonded, coef_b, coef)
@@ -200,13 +201,19 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     CT = ((-(-C // n_ct) + 127) // 128) * 128
     Cpad = n_ct * CT
 
-    def pad(a, cap_axis, c_axis):
+    def pad(a, cap_axis, c_axis, fill=0.0):
         pads = [(0, 0)] * a.ndim
         pads[cap_axis] = (0, cap8 - cap)
         pads[c_axis] = (0, Cpad - C)
-        return jnp.pad(a, pads)
+        return jnp.pad(a, pads, constant_values=fill)
 
-    stacks = [pad(s, 1, 2) for s in _half_stacks(state, spec)]
+    stacks = _half_stacks(state, spec)
+    # pad the pidj stack with the vacant sentinel n_real (pid+1 = n_real+1
+    # never matches a bond-partner attr) — see packed_pallas.py
+    fills = [0.0] * len(stacks)
+    if spec.has_bonds:
+        fills[-1] = float(spec.n_real)
+    stacks = [pad(s, 1, 2, f) for s, f in zip(stacks, fills)]
     xi = pad(state.r[0].reshape(cap, C), 0, 1)
     yi = pad(state.r[1].reshape(cap, C), 0, 1)
     zi = pad(state.r[2].reshape(cap, C), 0, 1)

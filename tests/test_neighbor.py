@@ -136,3 +136,33 @@ def test_md_with_neighbor_engine_matches_all_pairs(key):
     assert not bool(aux_nb.overflow) and not bool(aux_nb.stale)
     np.testing.assert_allclose(p_ap, p_nb, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(v_ap, v_nb, rtol=1e-3, atol=1e-3)
+
+
+def test_overflow_corruption_confined():
+    """Cell-capacity overflow must not evict particles from OTHER cells:
+    neighbor rows of particles far from the overflowing cell must match a
+    high-capacity reference build exactly."""
+    L = 12.0
+    box = Box.cubic(L)
+    rng = np.random.default_rng(11)
+    # cluster A: 12 particles inside one cell corner (overflows cap=4)
+    a = (rng.uniform(0.0, 0.8, (12, 3)) - L / 2 + 0.5).astype(np.float32)
+    # cluster B: a sparse 3x3x3 lattice (spacing 2.0 > cell width / 2, so
+    # no cell holds more than a couple of B particles) in the far corner
+    g = np.arange(3) * 2.0
+    b = (np.stack(np.meshgrid(g, g, g), -1).reshape(-1, 3)
+         + L / 2 - 5.5).astype(np.float32)
+    b += rng.uniform(-0.2, 0.2, b.shape).astype(np.float32)
+    pos = jnp.asarray(np.concatenate([a, b]))
+    n = pos.shape[0]
+    spec_lo = CellSpec.create(L, n, r_cut=2.0, skin=0.4, cell_capacity=4,
+                              max_neighbors=40)
+    spec_hi = CellSpec.create(L, n, r_cut=2.0, skin=0.4, cell_capacity=16,
+                              max_neighbors=40)
+    nbr_lo = build_neighbor_list(pos, box, spec_lo)
+    nbr_hi = build_neighbor_list(pos, box, spec_hi)
+    assert bool(nbr_lo.overflow) and not bool(nbr_hi.overflow)
+    idx_lo = np.asarray(nbr_lo.idx)
+    idx_hi = np.asarray(nbr_hi.idx)
+    for i in range(12, n):  # cluster B rows: identical neighbor sets
+        assert set(idx_lo[i][idx_lo[i] < n]) == set(idx_hi[i][idx_hi[i] < n])

@@ -143,3 +143,91 @@ def test_packed_melt_md_stable():
     up = up + im * L
     d = np.linalg.norm(up[bonds[:, 0]] - up[bonds[:, 1]], axis=1)
     assert d.max() < 1.5, d.max()
+
+
+def _stretched_pair_setup():
+    """Two bonded particles stretched past the WCA r_cut (but < fene_r0),
+    plus an unstretched bonded pair — the regime where a cutoff-gated FENE
+    silently scissions the chain."""
+    L = 6.0
+    box = Box.cubic(L)
+    pos = np.array([
+        [-0.65, 0.0, 0.0], [0.65, 0.0, 0.0],   # bond 0-1 at r=1.30 > 2^(1/6)
+        [-0.485, 2.0, 0.0], [0.485, 2.0, 0.0],  # bond 2-3 at r=0.97
+    ], np.float32)
+    bonds = np.array([[0, 1], [2, 3]], np.int32)
+    return pos, bonds, box, L
+
+
+def _oracle_force(pos, bonds, box):
+    """All-pairs WCA excluding bonded pairs + FENE(+WCA) on bonds."""
+    from metadyn_tpu.ops.pairs import all_pairs_force
+    from metadyn_tpu.ops.bonds import fene_bond_force
+    from metadyn_tpu.core.box import minimum_image
+    n = pos.shape[0]
+    types = jnp.zeros(n, jnp.int32)
+    wca = wca_tables(1)
+    fene = FENEBondParams(k=jnp.asarray([30.0]), r0=jnp.asarray([1.5]),
+                          epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0]))
+    r_all = all_pairs_force(jnp.asarray(pos), types, box, lj_kernel, wca,
+                            row_block=n)
+    i, j = bonds[:, 0], bonds[:, 1]
+    dr = minimum_image(jnp.asarray(pos)[i] - jnp.asarray(pos)[j], box)
+    r2 = jnp.sum(dr * dr, axis=-1)
+    e_b, c_b = lj_kernel(r2, types[i], types[j], wca)
+    f_sub = (jnp.zeros((n, 3)).at[i].add(c_b[:, None] * dr)
+             .at[j].add(-c_b[:, None] * dr))
+    r_fene = fene_bond_force(jnp.asarray(pos), jnp.asarray(bonds),
+                             jnp.zeros(len(bonds), jnp.int32), box, fene)
+    e_ref = float(r_all.energy - jnp.sum(e_b) + r_fene.energy)
+    f_ref = np.asarray(r_all.force - f_sub + r_fene.force)
+    return e_ref, f_ref
+
+
+def _packed_state_for(pos, bonds, box, L):
+    n = pos.shape[0]
+    spec = PackedSpec.create(L, n, r_cut=2.0 ** (1 / 6), skin=0.4, cap=8,
+                             fene_k=30.0, fene_r0=1.5)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs=bond_partner_attrs(bonds, n))
+    assert not bool(ovf)
+    return st, spec
+
+
+def test_packed_bond_past_rcut_keeps_fene():
+    """A bond stretched past the pair r_cut must keep FENE force/energy
+    (the pair cutoff gates only the plain pair term)."""
+    pos, bonds, box, L = _stretched_pair_setup()
+    e_ref, f_ref = _oracle_force(pos, bonds, box)
+    st, spec = _packed_state_for(pos, bonds, box, L)
+    st = packed_lj_force(st, spec)
+    np.testing.assert_allclose(float(st.potential_energy), e_ref, rtol=1e-4)
+    f_packed = np.asarray(st.f[:, st.slot_of].T)
+    np.testing.assert_allclose(f_packed, f_ref, rtol=1e-3, atol=1e-4)
+    # the stretched bond pulls INWARD with substantial magnitude
+    assert f_packed[0, 0] > 10.0 and f_packed[1, 0] < -10.0
+
+
+def test_packed_pallas_bond_past_rcut_keeps_fene():
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas as pp
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    pos, bonds, box, L = _stretched_pair_setup()
+    e_ref, f_ref = _oracle_force(pos, bonds, box)
+    st, spec = _packed_state_for(pos, bonds, box, L)
+    orig = pl.pallas_call
+    patched = lambda *x, **k: orig(*x, **{**k, "interpret": True})
+    pp.pl.pallas_call = patched
+    pp2.pl.pallas_call = patched
+    try:
+        a = pp.packed_lj_force_pallas(st, spec)
+        b = pp2.packed_lj_force_pallas2(st, spec)
+    finally:
+        pp.pl.pallas_call = orig
+        pp2.pl.pallas_call = orig
+    for res in (a, b):
+        np.testing.assert_allclose(float(res.potential_energy), e_ref,
+                                   rtol=1e-4)
+        f = np.asarray(res.f[:, res.slot_of].T)
+        np.testing.assert_allclose(f, f_ref, rtol=1e-3, atol=1e-4)
