@@ -44,8 +44,47 @@ def main():
     box = Box.cubic(L)
     kT = 1.0
 
-    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
-                             shift_energy=False)
+    # Equilibrate the melting fcc lattice UNBIASED at a generous capacity
+    # first: the superheated-lattice collapse transiently spikes cell
+    # occupancy above the equilibrated-liquid maximum of 30.
+    eq_spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                                shift_energy=False)
+    eq_engine = PackedEngine(eq_spec, rebuild_every=10)
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0.0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    eq_state, overflow = eq_engine.pack_state(
+        pos, box, jnp.zeros(n, jnp.int32),
+        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=vel)
+    assert not bool(overflow), "cell capacity overflow at pack"
+    eq_state, eq_aux = eq_engine.init(eq_state)
+    eq_step = make_packed_langevin_step(
+        lambda s: eq_engine.force_into(s, None), dt=0.005, kT=kT, gamma=1.0)
+
+    @jax.jit
+    def equilibrate(st, aux, key):
+        def block(c, b):
+            s2, a2 = eq_engine.rebuild(*c)
+            def body(s, i):
+                return eq_step(s, jax.random.fold_in(key, b * 10 + i)), None
+            s2, _ = jax.lax.scan(body, s2, jnp.arange(10))
+            return (s2, a2), None
+        return jax.lax.scan(block, (st, aux), jnp.arange(300))[0]
+
+    eq_state, eq_aux = equilibrate(eq_state, eq_aux, jax.random.PRNGKey(7))
+    assert not bool(eq_aux.overflow), "overflow during equilibration"
+    from metadyn_tpu.ops.packed import unpack_positions
+    liq_pos = np.asarray(unpack_positions(eq_state, eq_spec))
+    liq_vel = np.asarray(eq_state.v[:, eq_state.slot_of].T)
+
+    # Production engine.  cap=40: per-rebuild max occupancy of the liquid
+    # was measured at 33 (spikes above 32 in ~0.7% of rebuilds), so 32 is
+    # not safe; 40 is the next sublane-aligned capacity.
+    # skin 0.55 keeps the same 14^3 cell grid (width 3.054 >= r_list) but
+    # widens the half-skin rebuild trigger 0.25 -> 0.275, cutting repack
+    # frequency ~20% at identical kernel cost
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.55, cap=40,
+                             shift_energy=False, uniform_sigma=1.0)
     # 10-step cadence keeps the fastest thermal particles inside half-skin
     engine = PackedEngine(spec, rebuild_every=10)
     system = make_system(n)
@@ -53,15 +92,12 @@ def main():
     cv1 = PackedLamellar.create([[0, 0, 3]], n_real=n, name="a")
     cv2 = PackedLamellar.create([[0, 3, 0]], n_real=n, name="b")
     amps = np.ones(n, np.float32)
-    rng = np.random.default_rng(0)
-    vel = rng.normal(0.0, np.sqrt(kT), (n, 3)).astype(np.float32)
-    vel -= vel.mean(axis=0)
     state, overflow = engine.pack_state(
-        pos, box, jnp.zeros(n, jnp.int32),
-        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=vel,
+        liq_pos, box, jnp.zeros(n, jnp.int32),
+        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=liq_vel,
         extra_attrs={cv1.attr_name: amps, cv2.attr_name: amps},
     )
-    assert not bool(overflow), "cell capacity overflow at pack"
+    assert not bool(overflow), "cell capacity overflow at production pack"
 
     stride = 500
     sampler = MetadSampler(
@@ -76,13 +112,13 @@ def main():
         integrator_factory=lambda f: make_packed_langevin_step(
             f, dt=0.005, kT=kT, gamma=1.0),
         seed=0,
-        chunks_per_block=4,
+        chunks_per_block=8,
         walls=WallSpec.at_grid_edges(GridSpec.create(
             [-0.06, -0.06], [0.06, 0.06], [64, 64], [0.004, 0.004]), k=2000.0),
     )
 
     # warm-up: compile + equilibrate one block
-    sampler.run(stride * 4)
+    sampler.run(stride * 8)
     # measure
     n_meas = stride * 8
     t0 = time.time()

@@ -50,6 +50,11 @@ class PackedSpec:
     r_cut: float = struct.field(pytree_node=False)
     skin: float = struct.field(pytree_node=False)
     shift_energy: bool = struct.field(pytree_node=False, default=True)
+    # Uniform pair sigma (σ_ij identical for every pair): lets the Pallas
+    # kernel drop the hs partner stacks entirely — the XLA roll prepass is
+    # ~30% of the force cost (measured v5e), and this removes 1/3 of it.
+    # All baseline configs are single-σ (SURVEY.md §6).
+    uniform_sigma: float = struct.field(pytree_node=False, default=None)
     # FENE bead-spring bonds (None = no bonds).  Bonded pairs are matched
     # in-kernel via per-slot partner pids ('bp0'/'bp1' attrs) and get the
     # FENE+WCA interaction INSTEAD of the pair potential — HOOMD's default
@@ -78,7 +83,8 @@ class PackedSpec:
     def create(cls, box_L, n_particles: int, r_cut: float, skin: float = 0.5,
                cap: Optional[int] = None, shift_energy: bool = True,
                fene_k: Optional[float] = None,
-               fene_r0: Optional[float] = None) -> "PackedSpec":
+               fene_r0: Optional[float] = None,
+               uniform_sigma: Optional[float] = None) -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
             L = np.repeat(L, 3)
@@ -93,7 +99,8 @@ class PackedSpec:
             cap = max(4, int(np.ceil(mean_occ * 2.2)))
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
-                   fene_k=fene_k, fene_r0=fene_r0)
+                   fene_k=fene_k, fene_r0=fene_r0,
+                   uniform_sigma=uniform_sigma)
 
 
 @struct.dataclass

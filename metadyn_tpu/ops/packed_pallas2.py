@@ -63,7 +63,11 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
             for o in offs
         ])
         stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
-    extra = [state.attrs["se"], state.attrs["hs"]]
+    # uniform-sigma systems skip the hs stack: sig is a compile-time const
+    # and se (= √ε, 0 on vacant slots) already carries the vacancy mask
+    extra = [state.attrs["se"]]
+    if spec.uniform_sigma is None:
+        extra.append(state.attrs["hs"])
     if spec.has_bonds:
         extra.append(state.pid.astype(jnp.float32))
     for arr in extra:
@@ -76,17 +80,22 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
 
 
 def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
-            with_energy: bool = True):
+            with_energy: bool = True, usig: float = None):
     has_bonds = spec is not None and spec.has_bonds
+    refs = list(refs)
+    xi, yi, zi, se = refs[:4]
+    del refs[:4]
+    hs = None if usig is not None else refs.pop(0)
     if has_bonds:
-        (xi, yi, zi, se, hs, bp0, bp1,
-         xj, yj, zj, sej, hsj, pidj,
-         fx, fy, fz, fjx, fjy, fjz, ew) = refs
+        bp0, bp1 = refs[0], refs[1]
+        del refs[:2]
     else:
-        (xi, yi, zi, se, hs,
-         xj, yj, zj, sej, hsj,
-         fx, fy, fz, fjx, fjy, fjz, ew) = refs
-        bp0 = bp1 = pidj = None
+        bp0 = bp1 = None
+    xj, yj, zj, sej = refs[:4]
+    del refs[:4]
+    hsj = None if usig is not None else refs.pop(0)
+    pidj = refs.pop(0) if has_bonds else None
+    fx, fy, fz, fjx, fjy, fjz, ew = refs
     ct = pl.program_id(0)
     o = pl.program_id(1)
 
@@ -104,7 +113,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     y_i = yi[...]
     z_i = zi[...]
     se_i = se[...]
-    hs_i = hs[...]
+    hs_i = hs[...] if hs is not None else None
     if has_bonds:
         bp0_i = bp0[...]
         bp1_i = bp1[...]
@@ -121,17 +130,28 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         dz = z_i - zr
         r2 = dx * dx + dy * dy + dz * dz
         eps = se_i * ser
-        sig = hs_i + hsr
-        inside = (r2 < rc2) & (r2 > 1e-12)
+        # eps > 0 gate: vacant slots (se=0) drift under Langevin noise and
+        # can pass within r²~1e-8 of each other; with a nonzero uniform sig
+        # the s12 power overflows to inf and 0·inf = NaN.  Masking BEFORE
+        # the power chain keeps every excluded pair exactly zero.
+        inside = (r2 < rc2) & (r2 > 1e-12) & (eps > 0.0)
         inv = jnp.where(inside, 1.0, 0.0) / jnp.where(inside, r2, 1.0)
-        s2 = sig * sig * inv
+        if usig is not None:
+            sig = usig
+            s2 = (usig * usig) * inv
+        else:
+            sig = hs_i + hsr
+            s2 = sig * sig * inv
         s6 = s2 * s2 * s2
         s12 = s6 * s6
         if with_energy:
             e = 4.0 * eps * (s12 - s6)
             if shift_energy:
-                sc2 = sig * sig * (1.0 / rc2)
-                sc6 = sc2 * sc2 * sc2
+                if usig is not None:
+                    sc6 = float((usig * usig / rc2) ** 3)
+                else:
+                    sc2 = sig * sig * (1.0 / rc2)
+                    sc6 = sc2 * sc2 * sc2
                 e = e - jnp.where(inside, 4.0 * eps * (sc6 * sc6 - sc6), 0.0)
         else:
             e = None
@@ -146,7 +166,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
             coef = jnp.where(bonded, coef_b, coef)
         return coef, dx, dy, dz, e, r2
 
-    CH = 8
+    CH = 40 if cap % 40 == 0 else 8
     assert cap % CH == 0
 
     def chunk_body(jc, carry):
@@ -156,22 +176,26 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         ys = yj[0, pl.ds(j0, CH), :]
         zs = zj[0, pl.ds(j0, CH), :]
         ss = sej[0, pl.ds(j0, CH), :]
-        hss = hsj[0, pl.ds(j0, CH), :]
+        hss = hsj[0, pl.ds(j0, CH), :] if hsj is not None else None
         if pidj is not None:
             ps = pidj[0, pl.ds(j0, CH), :]
         for k in range(CH):
             coef, dx, dy, dz, e, r2 = pair_row(
                 xs[k, :][None, :], ys[k, :][None, :], zs[k, :][None, :],
-                ss[k, :][None, :], hss[k, :][None, :],
+                ss[k, :][None, :],
+                hss[k, :][None, :] if hss is not None else None,
                 ps[k, :][None, :] if pidj is not None else None)
-            afx = afx + coef * dx
-            afy = afy + coef * dy
-            afz = afz + coef * dz
+            tx = coef * dx
+            ty = coef * dy
+            tz = coef * dz
+            afx = afx + tx
+            afy = afy + ty
+            afz = afz + tz
             # j-row reaction forces: single-row stores into the rolled-frame
             # block (measured faster than one-hot carry accumulation)
-            fjx[0, j0 + k, :] = -wj * jnp.sum(coef * dx, axis=0)
-            fjy[0, j0 + k, :] = -wj * jnp.sum(coef * dy, axis=0)
-            fjz[0, j0 + k, :] = -wj * jnp.sum(coef * dz, axis=0)
+            fjx[0, j0 + k, :] = -wj * jnp.sum(tx, axis=0)
+            fjy[0, j0 + k, :] = -wj * jnp.sum(ty, axis=0)
+            fjz[0, j0 + k, :] = -wj * jnp.sum(tz, axis=0)
             if with_energy:
                 ae = ae + jnp.sum(e)
                 aw = aw + jnp.sum(coef * r2)
@@ -197,9 +221,18 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     cx, cy, cz = spec.cells_per_dim
     cap8 = ((cap + 7) // 8) * 8
     ct_budget = max(128, (11 * 2**20) // (90 * 4 * cap8) // 128 * 128)
-    n_ct = max(1, -(-C // ct_budget))
-    CT = ((-(-C // n_ct) + 127) // 128) * 128
-    Cpad = n_ct * CT
+    # pick the tile count minimizing total padding (measured: 12% Cpad
+    # waste costs more than the extra grid steps of smaller tiles); ties
+    # prefer larger tiles (fewer programs)
+    best = None
+    for cand in range(1, -(-C // 128) + 1):
+        ct = ((-(-C // cand) + 127) // 128) * 128
+        if ct > ct_budget:
+            continue
+        cpad = cand * ct
+        if best is None or cpad < best[2]:
+            best = (cand, ct, cpad)
+    n_ct, CT, Cpad = best
 
     def pad(a, cap_axis, c_axis, fill=0.0):
         pads = [(0, 0)] * a.ndim
@@ -218,8 +251,9 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     yi = pad(state.r[1].reshape(cap, C), 0, 1)
     zi = pad(state.r[2].reshape(cap, C), 0, 1)
     se = pad(state.attrs["se"].reshape(cap, C), 0, 1)
-    hs = pad(state.attrs["hs"].reshape(cap, C), 0, 1)
-    const_in = [xi, yi, zi, se, hs]
+    const_in = [xi, yi, zi, se]
+    if spec.uniform_sigma is None:
+        const_in.append(pad(state.attrs["hs"].reshape(cap, C), 0, 1))
     if spec.has_bonds:
         const_in += [pad(state.attrs["bp0"].reshape(cap, C), 0, 1),
                      pad(state.attrs["bp1"].reshape(cap, C), 0, 1)]
@@ -233,7 +267,7 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     kern = functools.partial(
         _kernel, cap=cap8, rc2=float(spec.r_cut) ** 2,
         shift_energy=spec.shift_energy, spec=spec if spec.has_bonds else None,
-        with_energy=with_energy)
+        with_energy=with_energy, usig=spec.uniform_sigma)
     fx, fy, fz, fjx, fjy, fjz, ew = pl.pallas_call(
         kern,
         grid=(n_ct, 14),

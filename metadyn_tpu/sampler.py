@@ -87,9 +87,26 @@ def cv_stack(cvs, state, system):
 
 
 def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None):
-    """Engine force + metadynamics bias (+ optional CV wall) through one vjp."""
+    """Engine force + metadynamics bias (+ optional CV wall).
+
+    Default path: F_bias = −(∂V/∂s)·∂s/∂r through one vjp.  When every CV
+    provides an analytic ``accum_bias_force`` (the packed hot-path CVs),
+    the vjp is skipped entirely — one fused elementwise pass per CV,
+    oracle-tested against the vjp path."""
+    analytic = all(hasattr(cv, "accum_bias_force") for cv in cvs)
 
     def force(state, aux, bias: BiasState):
+        if analytic:
+            s = cv_stack(cvs, state, system)
+            _, dVds = value_and_grad(bias.grid, s)
+            if walls is not None:
+                _, gw = walls.energy_and_grad(s)
+                dVds = dVds + gw
+            g = jnp.zeros_like(engine.positions(state))
+            for i, cv in enumerate(cvs):
+                g = cv.accum_bias_force(state, system, dVds[i], g)
+            return engine.force_into(state, aux, extra_force=g)
+
         def stacked(r):
             return cv_stack(cvs, engine.with_positions(state, r), system)
 

@@ -158,3 +158,81 @@ def test_packed_pallas2_interpret_matches_xla():
                                    rtol=1e-5, atol=1e-5)
     finally:
         pp2.pl.pallas_call = orig
+
+
+def test_packed_cv_analytic_bias_force_matches_vjp():
+    """accum_bias_force (the hot-path analytic gradient) == jax.vjp of the
+    CV value function, for PackedLamellar and PackedMSD."""
+    from metadyn_tpu.cv.packed import PackedLamellar, PackedMSD, \
+        msd_reference_attrs
+    from metadyn_tpu.core.state import make_system
+    rng = np.random.default_rng(5)
+    n, L = 400, 10.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=32)
+    amps = rng.uniform(0.5, 1.5, n).astype(np.float32)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs={"lam_a": amps, **msd_reference_attrs(pos)})
+    assert not bool(ovf)
+    # drift the state a bit so MSD is nonzero
+    st = st.replace(r=st.r + 0.01 * jnp.asarray(
+        rng.normal(0, 1, st.r.shape).astype(np.float32)))
+    system = make_system(n)
+    cvs = [PackedLamellar.create([[0, 0, 3], [1, 2, 0]], n_real=n, name="a",
+                                 phases=[0.3, -0.7]),
+           PackedMSD(n_real=n)]
+    dVds = jnp.asarray([0.8, -1.7], jnp.float32)
+    # vjp oracle
+    def stacked(r):
+        st2 = st.replace(r=r)
+        return jnp.stack([cv.value(st2, system) for cv in cvs])
+    _, vjp = jax.vjp(stacked, st.r)
+    (g,) = vjp(dVds)
+    f_oracle = -np.asarray(g)
+    # analytic path
+    f = jnp.zeros_like(st.r)
+    for i, cv in enumerate(cvs):
+        f = cv.accum_bias_force(st, system, dVds[i], f)
+    np.testing.assert_allclose(np.asarray(f), f_oracle, rtol=1e-4, atol=1e-6)
+
+
+def test_packed_pallas2_uniform_sigma_matches_general():
+    """The uniform-sigma lean kernel (no hs stacks, const sig, eps>0 gate)
+    must match the general kernel exactly, including on a state where
+    vacant slots have drifted off the origin (the 0*inf=NaN regime)."""
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    from metadyn_tpu.utils.lattice import fcc_lattice
+    rng = np.random.default_rng(7)
+    a_lat = 1.7
+    pos = fcc_lattice(6, a_lat)          # 864 particles, no overlaps
+    n = pos.shape[0]
+    L = 6 * a_lat
+    pos = pos + rng.normal(0, 0.05, pos.shape).astype(np.float32)
+    box = Box.cubic(L)
+    outs = {}
+    orig = pl.pallas_call
+    pp2.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    # ONE jiggle field shared by both runs: moves vacant slots to tiny
+    # nonzero separations (the 0*inf=NaN regime for the uniform kernel)
+    try:
+        for uniform in (None, 1.0):
+            spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40,
+                                     uniform_sigma=uniform)
+            st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                           jnp.ones(n), jnp.ones(n))
+            assert not bool(ovf)
+            jig = np.random.default_rng(11).normal(
+                0, 1e-4, st.r.shape).astype(np.float32)
+            st = st.replace(r=st.r + jnp.asarray(jig))
+            outs[uniform] = pp2.packed_lj_force_pallas2(st, spec)
+    finally:
+        pp2.pl.pallas_call = orig
+    a, b = outs[None], outs[1.0]
+    assert np.isfinite(np.asarray(b.f)).all()
+    np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(a.potential_energy),
+                               float(b.potential_energy), rtol=1e-5)
