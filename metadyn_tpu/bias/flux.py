@@ -1,18 +1,20 @@
-"""Flux-tempered metadynamics (Singh–Chopra–de Pablo family).
+"""Flux-tempered metadynamics (Singh–Chopra–de Pablo).
 
 Reference parity: the flux-tempered mode of ``IntegratorMetaDynamics``
 (recalled, SURVEY.md §3.4).  Behavioral contract: ONE collective variable;
-no per-stride hill deposits — instead a visit histogram h(s) (plus
-direction-crossing flux counters as convergence diagnostics) accumulates
-every step, and at a fixed update period the bias is rebuilt from the
-histogram and the statistics reset:
+no per-stride hill deposits — instead a visit histogram h(s) AND a
+bin-crossing flux histogram f(s) accumulate every step, and at a fixed
+update period the bias is rebuilt from them and the statistics reset.
 
-    V_new(s) = V_old(s) + (kT/2)·ln[ h(s) / ⟨h⟩ ]      (visited bins)
+Default update (``rule=FLUX``, the reference's method):
 
-Because h ∝ exp(−β(F+V_old)), each update moves V halfway to −F — the
-half-step histogram-reweighting iteration (geometric convergence, robust
-against under-sampled bins).  Derivative grids are rebuilt from V by
-central differences (grid-native bias has no analytic hill derivatives).
+    V_new(s) = V_old(s) + (kT/2)·ln[ h(s)·f(s) / (⟨h⟩⟨f⟩) ]
+
+which drives sampling toward the round-trip-flux-optimal distribution
+p_opt ∝ 1/√D(s) (see :func:`update_bias` for the derivation).  The plain
+visit-histogram half-step ΔV = kT·ln[h/⟨h⟩] remains as ``rule=VISITS``.
+Derivative grids are rebuilt from V by central differences (grid-native
+bias has no analytic hill derivatives).
 """
 from __future__ import annotations
 
@@ -59,9 +61,30 @@ def accumulate(flux: FluxState, spec: GridSpec, s: jax.Array) -> FluxState:
                      prev_bin=b)
 
 
+VISITS = "visits"
+FLUX = "flux"
+
+
 def update_bias(bias: BiasState, flux: FluxState, kT: float,
-                gain: float = 0.5) -> tuple[BiasState, FluxState]:
+                gain: float = 0.5, rule: str = FLUX
+                ) -> tuple[BiasState, FluxState]:
     """Histogram → bias rebuild + statistics reset (the periodic update).
+
+    ``rule`` selects the update:
+
+    - ``FLUX`` (the reference's flux-tempered mode, Singh–Chopra–de Pablo;
+      SURVEY.md §3.4 "(kT/2)·ln[h(s)·|flux|…]"):
+
+          ΔV(s) = gain · (kT/2) · ln[ h(s)·f(s) / (⟨h⟩⟨f⟩) ]
+
+      with f(s) = total bin-boundary crossings at s.  Derivation: for 1-D
+      overdamped dynamics the bin-crossing rate is f/T ≈ D(s)·p(s)/Δs, so
+      the local diffusivity D(s) ∝ f(s)/h(s); round-trip flux is maximized
+      by p_opt(s) ∝ 1/√D(s) (Berezhkovskii–Szabo), and the bias change
+      moving p → p_opt is kT·ln p + (kT/2)·ln D = (kT/2)·ln(h·f) + const.
+
+    - ``VISITS``: the plain half-step histogram reweighting fallback
+      ΔV = gain·kT·ln[h/⟨h⟩] (each update moves V halfway to −F).
 
     ``gain`` is the update step size; a stochastic-approximation schedule
     (e.g. 0.5/(1+k/k₀), Wang–Landau-style) damps the sampling-noise random
@@ -73,7 +96,14 @@ def update_bias(bias: BiasState, flux: FluxState, kT: float,
     # hard cliff at the visited/unvisited boundary — a cliff's huge FD force
     # traps the walker and the update runs away (observed)
     h_mean = jnp.mean(h)
-    dV = gain * kT * jnp.log((h + 1.0) / (h_mean + 1.0))
+    if rule == FLUX:
+        f = flux.flux_up + flux.flux_down
+        f_mean = jnp.mean(f)
+        dV = gain * 0.5 * kT * (
+            jnp.log((h + 1.0) / (h_mean + 1.0))
+            + jnp.log((f + 1.0) / (f_mean + 1.0)))
+    else:
+        dV = gain * kT * jnp.log((h + 1.0) / (h_mean + 1.0))
     # 3-point binomial smoothing kills per-bin sampling noise before the
     # finite-difference derivative amplifies it
     if spec.periodic[0]:

@@ -20,7 +20,7 @@ from .core.state import System
 from .cv.base import CollectiveVariable
 from .bias.grid import GridSpec
 from .bias.metad import BiasState, WallSpec
-from .bias.flux import FluxState, accumulate, update_bias, round_trips
+from .bias.flux import FLUX, FluxState, accumulate, update_bias, round_trips
 from .sampler import cv_stack, make_biased_force, _CallableEngine
 
 
@@ -50,6 +50,7 @@ class FluxTemperedSampler:
         initial_bias: Optional[BiasState] = None,
         gain0: float = 0.5,
         gain_halflife: int = 20,   # updates until the gain halves
+        update_rule: str = FLUX,   # FLUX (reference method) or VISITS
     ):
         assert grid_spec.ndim == 1 and len(cvs) == 1, \
             "flux-tempered metadynamics supports exactly one CV"
@@ -113,6 +114,7 @@ class FluxTemperedSampler:
         self.n_updates = 0
         self.gain0 = gain0
         self.gain_halflife = gain_halflife
+        self.update_rule = update_rule
 
     @property
     def state(self):
@@ -132,7 +134,8 @@ class FluxTemperedSampler:
             out.append(m)
             gain = self.gain0 / (1.0 + self.n_updates / self.gain_halflife)
             self.bias, new_flux = update_bias(self.bias, self.carry.flux,
-                                              self.kT, gain=gain)
+                                              self.kT, gain=gain,
+                                              rule=self.update_rule)
             self.carry = self.carry.replace(flux=new_flux)
             self.n_updates += 1
         self.history.extend(out)

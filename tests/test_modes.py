@@ -147,7 +147,8 @@ def test_flux_tempered_double_well_converges():
     m = np.abs(x) <= 1.1
     err = (F - F_true)[m]
     err -= err.mean()
-    assert np.max(np.abs(err)) < 0.35, np.max(np.abs(err))
+    # the flux rule measures 0.141 here (visits fallback: 0.269)
+    assert np.max(np.abs(err)) < 0.2, np.max(np.abs(err))
     assert max(h["round_trips"] for h in s.history) >= 1
 
 
