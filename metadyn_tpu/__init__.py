@@ -14,6 +14,7 @@ from .core.forcefield import ForceField
 from .core.engine import AllPairsEngine, NeighborEngine
 from .core.packed_engine import PackedEngine
 from .bias.grid import GridSpec, BiasGrid
+from .bias.hill_list import HillListBias
 from .bias.metad import (
     HillSpec, BiasState, WallSpec, STANDARD, WELL_TEMPERED, FLUX_TEMPERED,
     free_energy,
@@ -28,7 +29,7 @@ __all__ = [
     "Box", "State", "System", "make_state", "make_system",
     "thermal_velocities", "kinetic_energy", "temperature", "pressure",
     "ForceField", "AllPairsEngine", "NeighborEngine", "PackedEngine",
-    "GridSpec", "BiasGrid", "HillSpec", "BiasState", "WallSpec",
+    "GridSpec", "BiasGrid", "HillListBias", "HillSpec", "BiasState", "WallSpec",
     "STANDARD", "WELL_TEMPERED", "FLUX_TEMPERED", "free_energy",
     "MetadSampler", "FluxTemperedSampler", "WalkerSampler",
 ]

@@ -98,19 +98,33 @@ class HillRecord(NamedTuple):
     height: jax.Array  # ()
 
 
-def hill_height(hills: HillSpec, bias: BiasState, s: jax.Array) -> jax.Array:
+def bias_value_and_grad(bias, s: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(V(s), ∂V/∂s) for either bias representation: grid (BiasState) or
+    hill list (HillListBias) — the reference's grid / non-grid duality
+    (SURVEY.md §3.1)."""
+    if isinstance(bias, BiasState):
+        return value_and_grad(bias.grid, s)
+    from .hill_list import value_and_grad as hl_vg
+    return hl_vg(bias, s)
+
+
+def hill_height(hills: HillSpec, bias, s: jax.Array) -> jax.Array:
     """Current deposit height W' given the existing bias at s."""
     if hills.mode == WELL_TEMPERED:
-        V, _ = value_and_grad(bias.grid, s)
+        V, _ = bias_value_and_grad(bias, s)
         return hills.W * jnp.exp(-V / hills.deltaT)
     return hills.W * jnp.ones(())
 
 
-def deposit(hills: HillSpec, bias: BiasState, s: jax.Array,
-            step: jax.Array) -> tuple[BiasState, HillRecord]:
+def deposit(hills: HillSpec, bias, s: jax.Array,
+            step: jax.Array) -> tuple:
     h = hill_height(hills, bias, s)
-    grid = deposit_hill(bias.grid, s, h)
-    new = BiasState(grid=grid, n_hills=bias.n_hills + 1)
+    if isinstance(bias, BiasState):
+        grid = deposit_hill(bias.grid, s, h)
+        new = BiasState(grid=grid, n_hills=bias.n_hills + 1)
+    else:
+        from .hill_list import deposit as hl_deposit
+        new = hl_deposit(bias, s, h)
     return new, HillRecord(step=step, center=s, height=h)
 
 

@@ -27,8 +27,11 @@ from flax import struct
 from .core.state import State, System
 from .core.engine import EngineAux
 from .cv.base import CollectiveVariable
-from .bias.grid import GridSpec, value_and_grad
-from .bias.metad import BiasState, HillSpec, WallSpec, deposit, free_energy
+from .bias.grid import BiasGrid, GridSpec, value_and_grad
+from .bias.hill_list import HillListBias, evaluate_on_grid
+from .bias.metad import (
+    BiasState, HillSpec, WallSpec, bias_value_and_grad, deposit, free_energy,
+)
 from .io.hill_log import HillLog
 
 
@@ -95,10 +98,10 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
     oracle-tested against the vjp path."""
     analytic = all(hasattr(cv, "accum_bias_force") for cv in cvs)
 
-    def force(state, aux, bias: BiasState):
+    def force(state, aux, bias):
         if analytic:
             s = cv_stack(cvs, state, system)
-            _, dVds = value_and_grad(bias.grid, s)
+            _, dVds = bias_value_and_grad(bias, s)
             if walls is not None:
                 _, gw = walls.energy_and_grad(s)
                 dVds = dVds + gw
@@ -111,7 +114,7 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
             return cv_stack(cvs, engine.with_positions(state, r), system)
 
         s, vjp = jax.vjp(stacked, engine.positions(state))
-        _, dVds = value_and_grad(bias.grid, s)
+        _, dVds = bias_value_and_grad(bias, s)
         if walls is not None:
             _, gw = walls.energy_and_grad(s)
             dVds = dVds + gw
@@ -158,17 +161,21 @@ def make_stride_chunk(
         new_step = carry.step + hills.stride
         s = cv_stack(cvs, state, system)
         new_bias, rec = deposit(hills, bias, s, new_step)
-        V, _ = value_and_grad(new_bias.grid, s)
+        V, _ = bias_value_and_grad(new_bias, s)
+        if isinstance(new_bias, BiasState):
+            # CV outside the registered grid range → hills silently clamp;
+            # surface it like the reference's grid-bounds warning
+            oob = jnp.any((s < new_bias.grid.spec.lo)
+                          | (s > new_bias.grid.spec.hi))
+        else:
+            # list mode has no bounds; surface buffer overflow instead
+            oob = new_bias.overflowed
         metrics = {
             "step": new_step,
             "cv": s,
             "bias_V": V,
             "hill_height": rec.height,
-            # CV outside the registered grid range → hills silently clamp;
-            # surface it like the reference's grid-bounds warning
-            "cv_out_of_grid": jnp.any(
-                (s < new_bias.grid.spec.lo) | (s > new_bias.grid.spec.hi)
-            ),
+            "cv_out_of_grid": oob,
             **engine.metrics(state, aux),
         }
         return SamplerCarry(state, new_bias, aux, carry.key, new_step), (rec, metrics)
@@ -192,7 +199,7 @@ class MetadSampler:
         state,
         engine,
         cvs: Sequence[CollectiveVariable],
-        grid_spec: GridSpec,
+        grid_spec: Optional[GridSpec],
         hills: HillSpec,
         integrator_factory,
         seed: int = 0,
@@ -201,8 +208,19 @@ class MetadSampler:
         initial_bias: Optional[BiasState] = None,
         chunks_per_block: int = 64,
         walls: Optional[WallSpec] = None,
+        hill_sigma: Optional[Sequence[float]] = None,
+        hill_capacity: int = 4096,
+        spill_grid: Optional[GridSpec] = None,
     ):
-        assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
+        """``grid_spec=None`` selects the reference's non-grid hill-list
+        mode (SURVEY.md §3.1): pass ``hill_sigma`` (per-CV widths), and
+        optionally ``hill_capacity`` and a coarse ``spill_grid`` that
+        absorbs hills past capacity so no bias is ever lost."""
+        if grid_spec is not None:
+            assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
+        else:
+            assert hill_sigma is not None and len(hill_sigma) == len(cvs), (
+                "hill-list mode (grid_spec=None) needs hill_sigma per CV")
         if not hasattr(engine, "force_into"):
             engine = _CallableEngine(engine, system)
         self.engine = engine
@@ -212,7 +230,13 @@ class MetadSampler:
         self.grid_spec = grid_spec
         self.walls = walls
         self.biased_force = make_biased_force(engine, cvs, system, walls)
-        bias = initial_bias if initial_bias is not None else BiasState.zeros(grid_spec)
+        if initial_bias is not None:
+            bias = initial_bias
+        elif grid_spec is not None:
+            bias = BiasState.zeros(grid_spec)
+        else:
+            bias = HillListBias.create(hill_sigma, capacity=hill_capacity,
+                                       spill_spec=spill_grid)
 
         # prime aux + forces at the initial positions (with any restart bias)
         state, aux = engine.init(state)
@@ -266,9 +290,23 @@ class MetadSampler:
         self.history.extend(out)
         return out
 
-    def free_energy(self, kT: float) -> np.ndarray:
-        """FES estimate on the bias grid (see bias.metad.free_energy)."""
-        return np.asarray(free_energy(self.hills, self.carry.bias, jnp.float32(kT)))
+    def free_energy(self, kT: float,
+                    eval_spec: Optional[GridSpec] = None) -> np.ndarray:
+        """FES estimate on the bias grid (see bias.metad.free_energy).
+
+        Hill-list mode has no native grid: pass ``eval_spec`` to choose the
+        reconstruction points (hills are summed analytically onto it)."""
+        bias = self.carry.bias
+        if isinstance(bias, HillListBias):
+            assert eval_spec is not None, (
+                "hill-list mode: pass eval_spec for FES reconstruction")
+            V = evaluate_on_grid(bias, eval_spec)
+            bias = BiasState(
+                grid=BiasGrid(spec=eval_spec, V=V,
+                              dV=jnp.zeros((eval_spec.ndim,
+                                            *eval_spec.shape))),
+                n_hills=bias.n_hills)
+        return np.asarray(free_energy(self.hills, bias, jnp.float32(kT)))
 
     def grid_coords(self, d: int = 0) -> np.ndarray:
         return np.asarray(self.grid_spec.axis_coords(d))

@@ -158,3 +158,104 @@ def test_config1_lj_lamellar_standard():
     assert np.all(np.isfinite(V)) and V.max() > 0.1
     assert all(np.isfinite(m["cv"]).all() for m in hist)
     assert int(s.bias.n_hills) == 6
+
+
+def _dw_list_sampler(kT=0.6, capacity=4096, spill_grid=None, seed=0):
+    def dw(pos, state, system):
+        x = pos[0, 0]
+        return A_WELL * (x * x - 1.0) ** 2 + 5.0 * (pos[0, 1] ** 2 + pos[0, 2] ** 2)
+
+    box = Box.cubic(50.0)
+    system = make_system(1)
+    ff = ForceField(external=dw)
+    state = make_state(np.asarray([[1.0, 0.0, 0.0]], np.float32), box)
+    hills = HillSpec.create(W=0.15, stride=50, mode=WELL_TEMPERED, deltaT=6.0)
+    return MetadSampler(
+        system, state, ff.bind(system),
+        cvs=[AxisPosition(0, 0, name="x")],
+        grid_spec=None, hills=hills,
+        hill_sigma=[0.1], hill_capacity=capacity, spill_grid=spill_grid,
+        integrator_factory=lambda f: make_langevin_step(
+            f, system, dt=0.005, kT=kT, gamma=5.0),
+        seed=seed,
+    )
+
+
+def test_hill_list_deposit_parity_with_grid():
+    """Identical deposit sequences produce identical bias fields: the grid
+    stores each hill evaluated exactly at the grid points, so V at grid
+    points must match the analytic hill-list sum to f32 rounding
+    (VERDICT r1 item 6; SURVEY.md §3.1 non-grid mode)."""
+    from metadyn_tpu.bias.metad import BiasState, deposit
+    from metadyn_tpu.bias.hill_list import HillListBias, evaluate_on_grid
+    spec = GridSpec.create([-1.6], [1.6], [161], [0.1])
+    hills = HillSpec.create(W=0.15, stride=50, mode=WELL_TEMPERED, deltaT=6.0)
+    bg = BiasState.zeros(spec)
+    bl = HillListBias.create([0.1], capacity=64)
+    rng = np.random.default_rng(3)
+    centers = rng.uniform(-1.2, 1.2, 50).astype(np.float32)
+    for i, c in enumerate(centers):
+        s = jnp.asarray([c])
+        bg, rg = deposit(hills, bg, s, jnp.int32(i))
+        bl, rl = deposit(hills, bl, s, jnp.int32(i))
+        # WT height uses V(s) interpolated (grid) vs analytic (list):
+        # tiny interpolation differences allowed
+        np.testing.assert_allclose(float(rg.height), float(rl.height),
+                                   rtol=2e-3)
+    V_g = np.asarray(bg.grid.V)
+    V_l = np.asarray(evaluate_on_grid(bl, spec))
+    # heights drifted apart by the WT interpolation differences above;
+    # compare fields to that tolerance
+    np.testing.assert_allclose(V_g, V_l, atol=5e-3)
+    assert int(bl.n_hills) == 50 and not bool(bl.overflowed)
+
+
+def test_hill_list_mode_end_to_end_fes():
+    """Full list-mode WT run on the double well recovers the same FES as
+    grid mode (loose tolerance: the modes' trajectories diverge
+    chaotically; the deterministic parity is the deposit test above)."""
+    kT = 0.6
+    sg = _double_well_sampler(kT=kT, W=0.15, deltaT=6.0)
+    sl = _dw_list_sampler(kT=kT)
+    sg.run(5000)
+    sl.run(5000)
+    eval_spec = sg.grid_spec
+    F_g = sg.free_energy(kT=kT)
+    F_l = sl.free_energy(kT=kT, eval_spec=eval_spec)
+    x = sg.grid_coords(0)
+    m = np.abs(x) <= 1.2
+    d = (F_g - F_l)[m]
+    d -= d.mean()
+    assert np.max(np.abs(d)) < 0.15, np.max(np.abs(d))
+    assert int(sl.bias.n_hills) == 100
+    assert not bool(sl.bias.overflowed)
+
+
+def test_hill_list_spill_to_grid():
+    """Past capacity, hills spill onto the coarse grid: total bias is
+    preserved (no overflow flag) and the FES still matches a big-buffer
+    run within spill-grid interpolation error."""
+    kT = 0.6
+    spill = GridSpec.create([-1.6], [1.6], [161], [0.1])
+    s_small = _dw_list_sampler(kT=kT, capacity=40, spill_grid=spill)
+    s_big = _dw_list_sampler(kT=kT, capacity=4096)
+    s_small.run(5000)   # 100 hills: 40 in buffer + 60 spilled
+    s_big.run(5000)
+    assert int(s_small.bias.n_hills) == 100
+    assert not bool(s_small.bias.overflowed)
+    eval_spec = spill
+    F_s = s_small.free_energy(kT=kT, eval_spec=eval_spec)
+    F_b = s_big.free_energy(kT=kT, eval_spec=eval_spec)
+    x = np.asarray(eval_spec.axis_coords(0))
+    m = np.abs(x) <= 1.2
+    d = (F_s - F_b)[m]
+    d -= d.mean()
+    assert np.max(np.abs(d)) < 0.05, np.max(np.abs(d))
+
+
+def test_hill_list_overflow_flag_without_spill():
+    s = _dw_list_sampler(kT=0.6, capacity=10)
+    s.run(1000)  # 20 hills > capacity 10, no spill grid
+    assert int(s.bias.n_hills) == 20
+    assert bool(s.bias.overflowed)
+    assert bool(s.history[-1]["cv_out_of_grid"])  # surfaced in metrics
