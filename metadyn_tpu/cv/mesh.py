@@ -65,7 +65,9 @@ class MeshOrderParameter:
     """
 
     mode: jax.Array                 # (n_types,) per-type assignment coef
-    u_k: jax.Array                  # (nx, ny, nz) k-space kernel
+    u_k: Optional[jax.Array]        # explicit (nx,ny,nz) kernel (box-fixed)
+    k0: float = struct.field(pytree_node=False)      # Gaussian window target
+    width: float = struct.field(pytree_node=False)   # Gaussian window width
     mesh_shape: tuple = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False, default="mesh")
 
@@ -73,26 +75,63 @@ class MeshOrderParameter:
     def create(cls, mesh_shape, box_L, mode, k0: Optional[float] = None,
                width: float = 0.5, u_k: Optional[np.ndarray] = None,
                name: str = "mesh") -> "MeshOrderParameter":
+        """With ``k0``/``width`` (the default), u(|k|) is a Gaussian window
+        evaluated at the CURRENT box's k-vectors every step — the CV
+        follows the box under NPT exactly like the reference's per-box
+        influence function, and the k-space virial is analytic.  An
+        explicit ``u_k`` array is box-FIXED (pure fractional-mode weights):
+        scale-invariant, zero virial.  ``box_L`` is unused in the Gaussian
+        mode (kept for signature compatibility)."""
         mesh_shape = tuple(int(x) for x in mesh_shape)
-        box_L = np.asarray(box_L, np.float32).reshape(-1)
-        if box_L.size == 1:
-            box_L = np.repeat(box_L, 3)
         if u_k is None:
             assert k0 is not None, "give k0 (target |k|) or an explicit u_k"
-            kmag = _k_vectors(mesh_shape, box_L)
-            u_k = np.exp(-0.5 * ((kmag - k0) / width) ** 2)
-            u_k[0, 0, 0] = 0.0  # exclude the k=0 (total density) mode
         return cls(mode=jnp.asarray(np.asarray(mode, np.float32)),
-                   u_k=jnp.asarray(np.asarray(u_k, np.float32)),
+                   u_k=None if u_k is None
+                       else jnp.asarray(np.asarray(u_k, np.float32)),
+                   k0=None if k0 is None else float(k0),
+                   width=float(width),
                    mesh_shape=mesh_shape, name=name)
 
     @property
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
-    def value(self, state: State, system: System) -> jax.Array:
-        n = state.pos.shape[0]
+    def _kernels(self, box) -> tuple[jax.Array, jax.Array]:
+        """(u_k, vir_k) at the current box.  vir_k = u'(|k|)·|k|."""
+        if self.u_k is not None:
+            return self.u_k, jnp.zeros(self.mesh_shape, jnp.float32)
+        ms = [np.fft.fftfreq(n_) * n_ for n_ in self.mesh_shape]  # static
+        mx, my, mz = np.meshgrid(*ms, indexing="ij")
+        kmag = 2.0 * np.pi * jnp.sqrt(
+            (jnp.asarray(mx, jnp.float32) / box.L[0]) ** 2
+            + (jnp.asarray(my, jnp.float32) / box.L[1]) ** 2
+            + (jnp.asarray(mz, jnp.float32) / box.L[2]) ** 2)
+        u = jnp.exp(-0.5 * ((kmag - self.k0) / self.width) ** 2)
+        vir = -((kmag - self.k0) / self.width**2) * u * kmag
+        # exclude the k=0 (total density) mode
+        u = u.at[0, 0, 0].set(0.0)
+        vir = vir.at[0, 0, 0].set(0.0)
+        return u, vir
+
+    def _rho_k2(self, state: State, system: System) -> jax.Array:
         w = self.mode[system.types]
         rho = cic_assign(state.pos, w, state.box, self.mesh_shape)
-        rho_k = jnp.fft.fftn(rho)
-        return jnp.sum(jnp.abs(rho_k) ** 2 * self.u_k) / n
+        return jnp.abs(jnp.fft.fftn(rho)) ** 2
+
+    def value(self, state: State, system: System) -> jax.Array:
+        n = state.pos.shape[0]
+        u, _ = self._kernels(state.box)
+        return jnp.sum(self._rho_k2(state, system) * u) / n
+
+    def bias_virial(self, state: State, system: System,
+                    dVds: jax.Array) -> jax.Array:
+        """Scalar k-space virial of the bias force, W = −dE/dλ under
+        uniform scaling r→λr, L→λL (SURVEY.md §3.3).
+
+        ρ̂ at fixed integer mode is scale-invariant (CIC weights are pure
+        fractional-coordinate functions), so the only λ-dependence is
+        |k| → |k|/λ inside u:  W = dVds·(1/N)·Σ_k |ρ̂|²·u'(|k|)·|k|.
+        Without it, NPT + mesh-CV bias samples the wrong pressure."""
+        n = state.pos.shape[0]
+        _, vir = self._kernels(state.box)
+        return dVds * jnp.sum(self._rho_k2(state, system) * vir) / n

@@ -30,3 +30,11 @@ class MSD:
         unwrapped = state.pos + state.image.astype(state.pos.dtype) * state.box.L
         d = unwrapped - self.ref_pos
         return jnp.sum(d * d) / state.pos.shape[0]
+
+    def bias_virial(self, state: State, system: System,
+                    dVds: jax.Array) -> jax.Array:
+        """W = −dVds·ds/dλ under uniform scaling (r scales, the stored
+        reference positions do not): ds/dλ = (2/N)·Σ (r−r⁰)·r."""
+        unwrapped = state.pos + state.image.astype(state.pos.dtype) * state.box.L
+        d = unwrapped - self.ref_pos
+        return -dVds * 2.0 * jnp.sum(d * unwrapped) / state.pos.shape[0]

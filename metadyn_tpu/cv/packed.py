@@ -112,6 +112,16 @@ class PackedMSD:
             rows.append(coef * (unwrapped - state.attrs[nm]) * valid)
         return f_acc + jnp.stack(rows)
 
+    def bias_virial(self, state: PackedState, system: System,
+                    dVds: jax.Array) -> jax.Array:
+        """W = −dVds·(2/N)·Σ (u−r⁰)·u (see cv/msd.py)."""
+        valid = (state.pid < self.n_real).astype(jnp.float32)
+        acc = jnp.float32(0.0)
+        for d, nm in enumerate(("msd_x", "msd_y", "msd_z")):
+            u = state.r[d] + state.image[d].astype(jnp.float32) * state.box.L[d]
+            acc = acc + jnp.sum((u - state.attrs[nm]) * u * valid)
+        return -dVds * 2.0 * acc / self.n_real
+
 
 def msd_reference_attrs(pos: np.ndarray) -> dict:
     """Per-particle reference-position attributes for PackedMSD at pack time."""
@@ -127,7 +137,9 @@ class PackedMesh:
     coefficients live in the ``mesh_<name>`` attribute (0 on vacant slots).
     """
 
-    u_k: jax.Array
+    u_k: Optional[jax.Array]   # explicit kernel (box-fixed) or None
+    k0: float = struct.field(pytree_node=False)
+    width: float = struct.field(pytree_node=False)
     mesh_shape: tuple = struct.field(pytree_node=False)
     n_real: int = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False, default="mesh")
@@ -135,18 +147,33 @@ class PackedMesh:
     @classmethod
     def create(cls, mesh_shape, box_L, n_real, k0=None, width=0.5,
                u_k=None, name="mesh"):
-        from .mesh import _k_vectors
+        """Gaussian-window mode (k0/width): u evaluated at the CURRENT
+        box's k-vectors (NPT-correct, analytic k-space virial); explicit
+        u_k: box-fixed fractional-mode weights (zero virial).  See
+        cv/mesh.py."""
         mesh_shape = tuple(int(x) for x in mesh_shape)
-        box_L = np.asarray(box_L, np.float32).reshape(-1)
-        if box_L.size == 1:
-            box_L = np.repeat(box_L, 3)
         if u_k is None:
             assert k0 is not None
-            kmag = _k_vectors(mesh_shape, box_L)
-            u_k = np.exp(-0.5 * ((kmag - k0) / width) ** 2)
-            u_k[0, 0, 0] = 0.0
-        return cls(u_k=jnp.asarray(np.asarray(u_k, np.float32)),
+        return cls(u_k=None if u_k is None
+                       else jnp.asarray(np.asarray(u_k, np.float32)),
+                   k0=None if k0 is None else float(k0),
+                   width=float(width),
                    mesh_shape=mesh_shape, n_real=n_real, name=name)
+
+    def _kernels(self, box):
+        if self.u_k is not None:
+            return self.u_k, jnp.zeros(self.mesh_shape, jnp.float32)
+        ms = [np.fft.fftfreq(n_) * n_ for n_ in self.mesh_shape]
+        mx, my, mz = np.meshgrid(*ms, indexing="ij")
+        kmag = 2.0 * np.pi * jnp.sqrt(
+            (jnp.asarray(mx, jnp.float32) / box.L[0]) ** 2
+            + (jnp.asarray(my, jnp.float32) / box.L[1]) ** 2
+            + (jnp.asarray(mz, jnp.float32) / box.L[2]) ** 2)
+        u = jnp.exp(-0.5 * ((kmag - self.k0) / self.width) ** 2)
+        vir = -((kmag - self.k0) / self.width**2) * u * kmag
+        u = u.at[0, 0, 0].set(0.0)
+        vir = vir.at[0, 0, 0].set(0.0)
+        return u, vir
 
     @property
     def attr_name(self) -> str:
@@ -156,13 +183,12 @@ class PackedMesh:
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
-    def value(self, state: PackedState, system: System) -> jax.Array:
+    def _rho_k2(self, state: PackedState) -> jax.Array:
         nx, ny, nz = self.mesh_shape
         w = state.attrs[self.attr_name]
-        dims = jnp.asarray([nx, ny, nz], jnp.float32)
         rho = jnp.zeros(nx * ny * nz, jnp.float32)
         # per-axis mesh coords from SoA components (no (Npad, 3) array)
-        fr, i0, t = [], [], []
+        i0, t = [], []
         for d, n_d in enumerate((nx, ny, nz)):
             f = (state.r[d] / state.box.L[d] + 0.5) * n_d
             base = jnp.floor(f - 0.5)
@@ -179,4 +205,14 @@ class PackedMesh:
                     iz = jnp.mod(i0[2] + cz_, nz)
                     rho = rho.at[(ix * ny + iy) * nz + iz].add(ww)
         rho_k = jnp.fft.fftn(rho.reshape(nx, ny, nz))
-        return jnp.sum(jnp.abs(rho_k) ** 2 * self.u_k) / self.n_real
+        return jnp.abs(rho_k) ** 2
+
+    def value(self, state: PackedState, system: System) -> jax.Array:
+        u, _ = self._kernels(state.box)
+        return jnp.sum(self._rho_k2(state) * u) / self.n_real
+
+    def bias_virial(self, state: PackedState, system: System,
+                    dVds: jax.Array) -> jax.Array:
+        """k-space virial W = dVds·(1/N)Σ|ρ̂|²u'(|k|)|k| (see cv/mesh.py)."""
+        _, vir = self._kernels(state.box)
+        return dVds * jnp.sum(self._rho_k2(state) * vir) / self.n_real

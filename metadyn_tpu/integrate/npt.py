@@ -35,15 +35,18 @@ def make_npt_scr_step(
     tau_p: float = 2.0,
     anisotropic: bool = False,
     box_bias_fn: Optional[Callable[[State], jax.Array]] = None,
+    kappa: float = 0.1,
 ) -> StepFn:
-    """BAOAB Langevin + per-step stochastic cell rescale."""
+    """BAOAB Langevin + per-step stochastic cell rescale.
+
+    ``kappa`` is the isothermal-compressibility estimate (default: LJ
+    liquid ~ 0.1 in reduced units); it only sets the barostat time scale,
+    not the sampled ensemble — tune it for stiff/soft systems.
+    """
     mass = system.mass[:, None]
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt(1.0 - c1 * c1)
     n = system.n
-    # isothermal compressibility guess (LJ liquid ~ 0.1 in reduced units);
-    # only sets the barostat time scale, not the sampled ensemble
-    kappa = 0.1
 
     def step(state: State, key: jax.Array) -> State:
         k_noise, k_baro = jax.random.split(key)
@@ -78,7 +81,7 @@ def make_npt_scr_step(
         scale = jnp.exp(eps)  # (3,) or scalar
         new_box = Box(L=state.box.L * scale)
         x = x * scale
-        v = v / scale if anisotropic else v / scale
+        v = v / scale
 
         x, shift = wrap(x, new_box)
         new = force_apply(state.replace(pos=x, image=state.image + shift,

@@ -97,6 +97,21 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
     the vjp is skipped entirely — one fused elementwise pass per CV,
     oracle-tested against the vjp path."""
     analytic = all(hasattr(cv, "accum_bias_force") for cv in cvs)
+    # CVs with explicit box dependence supply a scalar bias virial
+    # (W = −dE_bias/dλ under uniform scaling) — e.g. the mesh CV's k-space
+    # sum (SURVEY.md §3.3) and the MSD CV.  Scale-invariant CVs (lamellar:
+    # k·r is a pure fractional coordinate; Steinhardt: bond directions)
+    # contribute exactly zero and need no method.
+    vir_cvs = [(i, cv) for i, cv in enumerate(cvs)
+               if hasattr(cv, "bias_virial")]
+
+    def add_bias_virial(state, dVds):
+        if not vir_cvs:
+            return state
+        w = state.virial
+        for i, cv in vir_cvs:
+            w = w + cv.bias_virial(state, system, dVds[i])
+        return state.replace(virial=w)
 
     def force(state, aux, bias):
         if analytic:
@@ -108,7 +123,8 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
             g = jnp.zeros_like(engine.positions(state))
             for i, cv in enumerate(cvs):
                 g = cv.accum_bias_force(state, system, dVds[i], g)
-            return engine.force_into(state, aux, extra_force=g)
+            return add_bias_virial(
+                engine.force_into(state, aux, extra_force=g), dVds)
 
         def stacked(r):
             return cv_stack(cvs, engine.with_positions(state, r), system)
@@ -119,7 +135,8 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
             _, gw = walls.energy_and_grad(s)
             dVds = dVds + gw
         (g,) = vjp(dVds)
-        return engine.force_into(state, aux, extra_force=-g)
+        return add_bias_virial(
+            engine.force_into(state, aux, extra_force=-g), dVds)
 
     return force
 

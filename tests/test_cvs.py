@@ -155,3 +155,73 @@ def test_energy_cv_wrapper():
     cv = EnergyCV(energy_fn=lambda p, st, sys: jnp.sum(p[:, 0] ** 2), name="wte")
     np.testing.assert_allclose(float(cv.value(state, system)),
                                float(jnp.sum(state.pos[:, 0] ** 2)), rtol=1e-6)
+
+
+def test_mesh_bias_virial_fd_oracle():
+    """bias_virial == −dE_bias/dλ under uniform scaling (r→λr, L→λL),
+    checked by central finite difference (SURVEY.md §3.3 k-space virial)."""
+    from metadyn_tpu.cv.mesh import MeshOrderParameter
+    from metadyn_tpu.core.state import make_state, make_system
+    from metadyn_tpu.core.box import Box
+    rng = np.random.default_rng(0)
+    n, L = 256, 10.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float64)
+    system = make_system(n)
+    cv = MeshOrderParameter.create((16, 16, 16), L, mode=[1.0],
+                                   k0=2.0 * np.pi * 3 / L, width=0.4)
+    dVds = 1.37
+
+    def E(lam):
+        st = make_state((pos * lam).astype(np.float32), Box.cubic(L * lam))
+        # E_bias = dVds·s is the local linearization of V(s) — its
+        # λ-derivative at λ=1 is what the virial encodes
+        return dVds * float(cv.value(st, system))
+
+    h = 1e-3
+    dE = (E(1 + h) - E(1 - h)) / (2 * h)
+    st = make_state(pos.astype(np.float32), Box.cubic(L))
+    W = float(cv.bias_virial(st, system, jnp.float32(dVds)))
+    np.testing.assert_allclose(W, -dE, rtol=2e-2)
+    assert abs(W) > 1e-3  # nontrivial
+
+
+def test_msd_bias_virial_fd_oracle():
+    from metadyn_tpu.cv.msd import MSD
+    from metadyn_tpu.core.state import make_state, make_system
+    from metadyn_tpu.core.box import Box
+    rng = np.random.default_rng(1)
+    n, L = 64, 8.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float64)
+    ref = pos + rng.normal(0, 0.3, pos.shape)
+    system = make_system(n)
+    cv = MSD.create(ref.astype(np.float32))
+    dVds = -0.8
+
+    def E(lam):
+        st = make_state((pos * lam).astype(np.float32), Box.cubic(L * lam))
+        return dVds * float(cv.value(st, system))
+
+    h = 1e-3
+    dE = (E(1 + h) - E(1 - h)) / (2 * h)
+    st = make_state(pos.astype(np.float32), Box.cubic(L))
+    W = float(cv.bias_virial(st, system, jnp.float32(dVds)))
+    np.testing.assert_allclose(W, -dE, rtol=2e-2)
+
+
+def test_lamellar_scale_invariance():
+    """The lamellar CV is exactly scale-invariant (k·r is a fractional
+    coordinate), so its bias virial is identically zero — documented
+    behavior backing the no-method default in make_biased_force."""
+    from metadyn_tpu.cv.lamellar import LamellarOP
+    from metadyn_tpu.core.state import make_state, make_system
+    from metadyn_tpu.core.box import Box
+    rng = np.random.default_rng(2)
+    n, L = 128, 9.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float64)
+    system = make_system(n)
+    cv = LamellarOP.create(mode=[1.0], lattice_vectors=[[0, 0, 2]])
+    v1 = float(cv.value(make_state(pos.astype(np.float32),
+                                   Box.cubic(L)), system))
+    v2 = float(cv.value(make_state((pos * 1.1).astype(np.float32),
+                                   Box.cubic(L * 1.1)), system))
+    np.testing.assert_allclose(v1, v2, rtol=1e-5)
