@@ -41,14 +41,16 @@ class AspectRatio:
         return g
 
 
-def box_bias_fn_for(cv: AspectRatio, bias_getter):
+def box_bias_fn_for(cv: AspectRatio, bias):
     """Build ``box_bias_fn(state) -> ∂V_bias/∂L`` for the NPT integrator.
 
-    ``bias_getter()`` must return the current BiasState (closure over the
-    sampler carry inside the jitted chunk)."""
+    ``bias`` is the live BiasState of the stride chunk: pass a two-argument
+    ``integrator_factory(force_fn, bias)`` to MetadSampler and construct
+    the NPT step with ``box_bias_fn=box_bias_fn_for(cv, bias)`` — the bias
+    grid is then interpolated at the CURRENT box shape on every step
+    inside the jitted chunk (box-shape metadynamics end-to-end)."""
 
     def fn(state: State) -> jax.Array:
-        bias = bias_getter()
         s = jnp.stack([state.box.L[cv.axis_a] / state.box.L[cv.axis_b]])
         _, dVds = value_and_grad(bias.grid, s)
         return dVds[0] * cv.dvalue_dL(state)

@@ -67,11 +67,11 @@ def make_npt_scr_step(
             g = jax.random.normal(k_baro, (3,))
             dP = p_int - pressure
             if box_bias_fn is not None:
-                # dU_bias/dL → pressure-like force on each box length:
-                # P_bias,d = −(∂V/∂L_d)·L_d/(3·vol)… applied directly as a
-                # strain-rate term
+                # bias stress along axis d: σ_d = −(1/V)·∂E_bias/∂ε_d
+                # = −(∂V/∂L_d)·L_d / V — enters the per-axis pressure
+                # imbalance with the same normalization as p_int
                 dVdL = box_bias_fn(state)
-                dP = dP - dVdL * state.box.L / (3.0 * vol)
+                dP = dP - dVdL * state.box.L / vol
             eps = (-(kappa * dt / (3.0 * tau_p)) * (-dP)
                    + jnp.sqrt(2.0 * kT * kappa * dt / (3.0 * vol * tau_p)) * g)
         else:

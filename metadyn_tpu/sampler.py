@@ -150,7 +150,14 @@ def make_stride_chunk(
     integrator_factory: Callable,
 ):
     """One deposition stride: nested scan of rebuild blocks × MD steps,
-    then deposit a hill — all fused into the jitted outer scan body."""
+    then deposit a hill — all fused into the jitted outer scan body.
+
+    ``integrator_factory`` is called with the biased force fn, or — if it
+    accepts two arguments — with ``(force_fn, bias)`` so box-coupled
+    integrators (NPT box-shape metadynamics, SURVEY.md §2a AspectRatio)
+    can interpolate ∂V/∂s against the live bias inside the chunk."""
+    import inspect
+    want_bias = len(inspect.signature(integrator_factory).parameters) >= 2
     r = min(engine.rebuild_every, hills.stride)
     assert hills.stride % r == 0, (
         f"stride={hills.stride} must be a multiple of rebuild_every={r}")
@@ -162,8 +169,9 @@ def make_stride_chunk(
         def block(c, b):
             state, aux = c
             state, aux = engine.rebuild(state, aux)
-            step_fn = integrator_factory(
-                lambda st: biased_force(st, aux, bias))
+            force_fn = lambda st: biased_force(st, aux, bias)
+            step_fn = (integrator_factory(force_fn, bias) if want_bias
+                       else integrator_factory(force_fn))
 
             def body(st, i):
                 k = jax.random.fold_in(carry.key, carry.step + b * r + i)

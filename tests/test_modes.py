@@ -19,7 +19,7 @@ from metadyn_tpu.bias.grid import GridSpec
 from metadyn_tpu.bias.flux import (
     FluxState, accumulate, update_bias, bin_of,
 )
-from metadyn_tpu.bias.metad import BiasState
+from metadyn_tpu.bias.metad import BiasState, HillSpec, WallSpec, WELL_TEMPERED
 from metadyn_tpu.flux_sampler import FluxTemperedSampler
 from metadyn_tpu.ops.pairs import lj_tables, wca_tables, lj_kernel
 from metadyn_tpu.utils.lattice import fcc_lattice
@@ -216,3 +216,53 @@ def test_npt_with_mesh_bias_pressure_consistent(key):
     # the bias virial is actually nonzero in this run (the test would be
     # vacuous otherwise)
     assert np.max(np.abs(wb)) > 1e-3, wb
+
+
+def test_box_shape_metadynamics_end_to_end(key):
+    """Box-shape metadynamics (VERDICT r1 item 4): WT hills deposited on
+    s = Lx/Ly, ∂V/∂s coupled to the box DOF through box_bias_fn inside
+    the jitted chunk with the anisotropic SCR barostat.  The biased run
+    must explore a much wider aspect-ratio range than the unbiased one."""
+    from metadyn_tpu.cv.aspect_ratio import box_bias_fn_for
+    from metadyn_tpu.sampler import MetadSampler
+
+    kT, P = 1.0, 0.5
+    system, state, force_apply = _lj_setup(key, kT)
+    cv = AspectRatio()
+    gs = GridSpec.create([0.7], [1.4], [71], [0.02])
+
+    def factory(f, bias):
+        return make_npt_scr_step(
+            f, system, dt=0.004, kT=kT, pressure=P, gamma=2.0,
+            tau_p=1.0, anisotropic=True,
+            box_bias_fn=box_bias_fn_for(cv, bias))
+
+    smp = MetadSampler(
+        system, state, force_apply, cvs=[cv], grid_spec=gs,
+        hills=HillSpec.create(W=0.15, stride=25, mode=WELL_TEMPERED,
+                              deltaT=4.0),
+        integrator_factory=factory, seed=0,
+        walls=WallSpec.at_grid_edges(gs, k=500.0))
+    smp.run(4000)
+    s_biased = np.asarray([float(h["cv"][0]) for h in smp.history])
+
+    # unbiased reference: same barostat, zero box bias
+    step0 = make_npt_scr_step(force_apply, system, dt=0.004, kT=kT,
+                              pressure=P, gamma=2.0, tau_p=1.0,
+                              anisotropic=True)
+    st0 = force_apply(state)
+    s_unb = []
+    for i in range(40):
+        st0 = jax.jit(lambda s, k: run_steps(step0, s, k, 100))(
+            st0, jax.random.PRNGKey(100 + i))
+        s_unb.append(float(st0.box.L[0] / st0.box.L[1]))
+    s_unb = np.asarray(s_unb)
+
+    assert np.isfinite(s_biased).all()
+    assert int(smp.bias.n_hills) == 160
+    assert np.asarray(smp.bias.grid.V).max() > 0.1  # hills really deposited
+    spread_b = s_biased.max() - s_biased.min()
+    spread_u = s_unb.max() - s_unb.min()
+    # the bias drives the box shape far beyond thermal fluctuation
+    assert spread_b > 2.0 * spread_u, (spread_b, spread_u)
+    assert spread_b > 0.2, spread_b
