@@ -79,7 +79,10 @@ class PackedEngine:
             return repack_incremental(st, self.spec)
 
         def dont(st):
-            return st, jnp.asarray(False)
+            # literal False would be REPLICATED under shard_map while the
+            # do-branch flag is device-varying → cond type mismatch; derive
+            # the constant from state so both branches vary alike
+            return st, st.pid[0] < 0
 
         # forces travel with the slots in the repack columns, so no force
         # recomputation is needed after a migration

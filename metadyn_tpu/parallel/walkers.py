@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.state import System
 from ..bias.grid import GridSpec, hill_field, value_and_grad
 from ..bias.metad import BiasState, HillSpec, hill_height
+from ..io.hill_log import HillLog
 from ..sampler import cv_stack, make_biased_force, _CallableEngine
 
 
@@ -89,6 +90,8 @@ def make_walker_chunk(
             "cv": s,
             "hill_height": h,
             "bias_V": V_here,
+            "cv_out_of_grid": jnp.any((s < bias.grid.spec.lo)
+                                      | (s > bias.grid.spec.hi)),
             **engine.metrics(state, aux),
         }
         return state, aux, new_bias, (s, h), metrics
@@ -116,6 +119,9 @@ class WalkerSampler:
         seed: int = 0,
         initial_bias: Optional[BiasState] = None,
         walls=None,
+        hill_file: Optional[str] = None,
+        overwrite: bool = False,
+        chunks_per_block: int = 16,
     ):
         if not hasattr(engine, "force_into"):
             engine = _CallableEngine(engine, system)
@@ -142,11 +148,26 @@ class WalkerSampler:
                     new_bias, expand(hill), expand(metrics))
 
         wspec = P("walkers")
-        self._run_chunk = jax.jit(_shard_map(
+        run_chunk = _shard_map(
             run_one, self.mesh,
             in_specs=(wspec, wspec, wspec, P(), P()),
             out_specs=(wspec, wspec, wspec, P(), wspec, wspec),
-        ))
+        )
+
+        # chunked host loop (MetadSampler parity): one dispatch covers
+        # ``chunks_per_block`` strides via lax.scan over the shard_mapped
+        # stride chunk
+        def run_block(states, auxs, keys, step, bias, n):
+            def body(c, _):
+                st, ax, ks, stp, b = c
+                st, ax, ks, b, hill, metrics = run_chunk(st, ax, ks, stp, b)
+                return (st, ax, ks, stp + hills.stride, b), (hill, metrics)
+            (st, ax, ks, stp, b), (hill, metrics) = jax.lax.scan(
+                body, (states, auxs, keys, step, bias), None, length=n)
+            return st, ax, ks, stp, b, hill, metrics
+
+        self._block = chunks_per_block
+        self._run_block = jax.jit(run_block, static_argnums=5)
 
         # init per-walker forces eagerly (vmapped init)
         def init_one(st):
@@ -163,16 +184,55 @@ class WalkerSampler:
         self.bias = bias
         self.step = jnp.int32(0)
         self.history: list[dict] = []
+        self.hill_log = (HillLog(hill_file, self, overwrite=overwrite)
+                         if hill_file else None)
 
     def run(self, n_steps: int) -> list[dict]:
         stride = self.hills.stride
         assert n_steps % stride == 0
+        n_chunks = n_steps // stride
         out = []
-        for _ in range(n_steps // stride):
-            (self.states, self.auxs, self.keys, self.bias, hill, metrics) = \
-                self._run_chunk(self.states, self.auxs, self.keys,
-                                self.step, self.bias)
-            self.step = self.step + stride
-            out.append(jax.device_get(metrics))
+        remaining = n_chunks
+        while remaining > 0:
+            n = self._block if remaining >= self._block else remaining
+            (self.states, self.auxs, self.keys, self.step, self.bias,
+             hill, metrics) = self._run_block(
+                self.states, self.auxs, self.keys, self.step, self.bias, n)
+            hill, metrics = jax.device_get((hill, metrics))
+            for i in range(n):
+                out.append({k: np.asarray(v[i]) for k, v in metrics.items()})
+            if self.hill_log is not None:
+                self._append_hills(hill, n, int(self.step) - n * stride)
+            remaining -= n
         self.history.extend(out)
         return out
+
+    def _append_hills(self, hill, n_chunks: int, step0: int) -> None:
+        """One hill-file row per (stride, walker) — the reference's
+        multiple-walker hill log (every partition appends its hill)."""
+        from ..bias.metad import HillRecord
+        centers, heights = hill           # (n, W, d) / (n, W)
+        stride = self.hills.stride
+        steps = np.repeat(
+            step0 + stride * (1 + np.arange(n_chunks)), self.n_walkers)
+        self.hill_log.append(HillRecord(
+            step=steps,
+            center=np.asarray(centers).reshape(-1, centers.shape[-1]),
+            height=np.asarray(heights).reshape(-1)))
+
+    # --- persistence (MetadSampler parity) -------------------------------
+    def dump_grid(self, path: str) -> None:
+        from ..io.grid_file import dump_grid
+        dump_grid(path, self.bias, mode=self.hills.mode,
+                  deltaT=float(self.hills.deltaT))
+
+    def save_checkpoint(self, path: str) -> None:
+        from ..io.checkpoint import save_checkpoint
+        save_checkpoint(path, (self.states, self.auxs, self.keys,
+                               self.bias, self.step))
+
+    def load_checkpoint(self, path: str) -> None:
+        from ..io.checkpoint import load_checkpoint
+        (self.states, self.auxs, self.keys, self.bias, self.step), _ = \
+            load_checkpoint(path, (self.states, self.auxs, self.keys,
+                                   self.bias, self.step))

@@ -110,3 +110,106 @@ def test_walkers_converge_faster_fes(tmp_path):
     err = (F - F_true)[m]
     err -= err.mean()
     assert np.max(np.abs(err)) < 0.3, np.max(np.abs(err))
+
+
+def test_walker_hill_log_and_checkpoint(tmp_path):
+    """WalkerSampler parity with MetadSampler (VERDICT r1 item 8): hill
+    log rows per (stride, walker), grid dump, and bitwise kill-and-resume
+    through the checkpoint."""
+    from metadyn_tpu.io.hill_log import read_hills
+    from metadyn_tpu.io.grid_file import load_grid
+
+    hill_path = str(tmp_path / "walker_hills.dat")
+    system = make_system(1)
+    ff = ForceField(external=_dw)
+    box = Box.cubic(50.0)
+    starts = np.asarray([[1.0 - 2.0 * (w % 2), 0, 0] for w in range(8)],
+                        np.float32)
+
+    def mk(hf=None):
+        states = jax.vmap(lambda p: make_state(p[None, :], box))(
+            jnp.asarray(starts))
+        return WalkerSampler(
+            system, states, ff.bind(system),
+            cvs=[AxisPosition(0, 0, name="x")],
+            grid_spec=GridSpec.create([-1.6], [1.6], [161], [0.1]),
+            hills=HillSpec.create(W=0.1, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=6.0),
+            integrator_factory=lambda f: make_langevin_step(
+                f, system, dt=0.005, kT=0.6, gamma=5.0),
+            seed=0, hill_file=hf, overwrite=True)
+
+    s1 = mk(hf=hill_path)
+    s1.run(100)  # 4 strides
+    h = read_hills(hill_path)
+    assert h["step"].shape[0] == 4 * 8  # one row per (stride, walker)
+    assert set(h["step"]) == {25, 50, 75, 100}
+    assert np.all(np.abs(h["center"]) < 1.6)
+
+    ckpt = str(tmp_path / "walkers.npz")
+    s1.save_checkpoint(ckpt)
+    s1.dump_grid(str(tmp_path / "walker_grid.npz"))
+    gbias, meta = load_grid(str(tmp_path / "walker_grid.npz"))
+    np.testing.assert_array_equal(np.asarray(gbias.grid.V),
+                                  np.asarray(s1.bias.grid.V))
+    s1.run(100)
+    V_ref = np.asarray(s1.bias.grid.V)
+
+    s2 = mk()
+    s2.load_checkpoint(ckpt)
+    s2.run(100)
+    np.testing.assert_array_equal(V_ref, np.asarray(s2.bias.grid.V))
+
+
+def test_walkers_with_packed_engine():
+    """Multi-walker metadynamics over a REAL packed LJ system: 8 walkers
+    x 864 particles on the CPU mesh, shared grid, lamellar CV (VERDICT r1
+    item 8 'one multi-walker run of a REAL packed system')."""
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.ops.packed import PackedSpec
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    rho = 0.8
+    a = (4.0 / rho) ** (1.0 / 3.0)
+    pos = fcc_lattice(6, a)          # 864 particles
+    n = pos.shape[0]
+    L = 6 * a
+    box = Box.cubic(L)
+    kT = 1.0
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False)
+    engine = PackedEngine(spec, rebuild_every=5, use_pallas=False)
+    system = make_system(n)
+    cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="a")
+    amps = np.ones(n, np.float32)
+
+    def pack_one(w):
+        rng = np.random.default_rng(w)
+        vel = rng.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
+        st, ovf = engine.pack_state(
+            pos, box, jnp.zeros(n, jnp.int32), eps_i=jnp.ones(n),
+            sigma_i=jnp.ones(n), vel=vel,
+            extra_attrs={cv.attr_name: amps})
+        assert not bool(ovf)
+        return st
+
+    states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                          *[pack_one(w) for w in range(8)])
+    ws = WalkerSampler(
+        system, states, engine, cvs=[cv],
+        grid_spec=GridSpec.create([-0.2], [0.2], [41], [0.01]),
+        hills=HillSpec.create(W=0.05, stride=20, mode=WELL_TEMPERED,
+                              deltaT=5.0),
+        integrator_factory=lambda f: make_packed_langevin_step(
+            f, dt=0.005, kT=kT, gamma=1.0),
+        seed=0, chunks_per_block=2)
+    out = ws.run(80)  # 4 strides x 8 walkers
+    assert int(ws.bias.n_hills) == 32
+    m = out[-1]
+    assert np.asarray(m["cv"]).shape == (8, 1)
+    assert np.all(np.isfinite(np.asarray(m["potential_energy"])))
+    assert not np.any(np.asarray(m["nlist_overflow"]))
+    V = np.asarray(ws.bias.grid.V)
+    assert np.isfinite(V).all() and V.max() > 0.0
