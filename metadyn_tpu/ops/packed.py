@@ -443,11 +443,17 @@ def _fene_wca_pair(r2s, eps, sig, spec):
     return e_f + e_w, coef_f + coef_w
 
 
-def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
+def packed_lj_force(state: PackedState, spec: PackedSpec,
+                    cell_mask: Optional[jax.Array] = None) -> PackedState:
     """LJ pair forces via the 27-offset roll method (see module docstring).
 
     Per-slot Lorentz–Berthelot parameters: ε_ij = se_i·se_j (se=√ε),
     σ_ij = hs_i + hs_j (hs=σ/2).  Vacant slots have se=0 ⇒ zero coupling.
+
+    ``cell_mask`` ((C,) 0/1) restricts the energy/virial sums to pairs
+    whose i-cell is masked in — used by the spatial-sharding path so halo
+    cells contribute forces to their neighbors but are not double-counted
+    in the replicated scalars (parallel/spatial.py).
     """
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
@@ -511,8 +517,13 @@ def packed_lj_force(state: PackedState, spec: PackedSpec) -> PackedState:
             coef = jnp.where(bonded, coef_b, coef)
         for d in range(3):
             fx[d] = fx[d] + jnp.sum(coef * dx[d], axis=0)
+        if cell_mask is not None:
+            e = e * cell_mask[None, None, :]
+            w_pair = coef * r2 * cell_mask[None, None, :]
+        else:
+            w_pair = coef * r2  # coef is zero outside active pairs
         e_tot = e_tot + jnp.sum(e)
-        w_tot = w_tot + jnp.sum(coef * r2)  # coef is zero outside active pairs
+        w_tot = w_tot + jnp.sum(w_pair)
 
     force = jnp.stack([f.reshape(-1) for f in fx])
     return state.replace(
