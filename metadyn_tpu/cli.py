@@ -1,43 +1,166 @@
-"""Command-line driver: ``metadyn run config.yaml``.
+"""Command-line driver: ``metadyn run config.yaml [--resume]``.
 
 Reference parity: the reference's "config" is python-constructor kwargs
 plus HOOMD CLI flags (SURVEY.md §5 config/flag system); here a typed YAML
-config drives the same parameter names.  `examples/` contains configs for
-the baseline set (BASELINE.md Configs 1–4).
+config drives the same parameter names.  ``examples/`` contains YAML
+configs for the full baseline set (BASELINE.md Configs 1–5), including
+multi-walker (``mode: walkers``), flux-tempered (``mode: flux_tempered``),
+NVT/NPT integrator selection, periodic checkpointing with ``--resume``,
+and trajectory output.
 """
 from __future__ import annotations
 
 import argparse
-import json
+import os
 import sys
 
 import numpy as np
+
+
+def _build_particle_cvs(cvs_cfg, system, L, pos):
+    from .cv.lamellar import LamellarOP
+    from .cv.mesh import MeshOrderParameter
+    from .cv.steinhardt import SteinhardtQl
+    from .cv.msd import MSD
+    from .cv.aspect_ratio import AspectRatio
+
+    cvs = []
+    for c in cvs_cfg:
+        kind = c["kind"]
+        if kind == "lamellar":
+            cvs.append(LamellarOP.create(
+                mode=c.get("mode", [1.0] * system.n_types),
+                lattice_vectors=[c["lattice_vector"]], name=c["name"]))
+        elif kind == "mesh":
+            cvs.append(MeshOrderParameter.create(
+                tuple(c["mesh"]), L, mode=c.get("mode", [1.0] * system.n_types),
+                k0=c["k0"], width=c.get("width", 0.5), name=c["name"]))
+        elif kind == "steinhardt":
+            cvs.append(SteinhardtQl(r_cut=c["r_cut"], l=c.get("l", 6),
+                                    name=c["name"]))
+        elif kind == "msd":
+            cvs.append(MSD.create(pos, name=c["name"]))
+        elif kind == "aspect_ratio":
+            cvs.append(AspectRatio(axis_a=int(c.get("axis_a", 0)),
+                                   axis_b=int(c.get("axis_b", 1)),
+                                   name=c["name"]))
+        else:
+            raise ValueError(f"unknown cv kind {kind}")
+    return cvs
+
+
+def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system):
+    """Packed CV zoo: lamellar, mesh, steinhardt/q6, coordination, msd."""
+    from .cv.packed import PackedLamellar, PackedMesh, PackedMSD, \
+        msd_reference_attrs
+    from .cv.packed_order import PackedSteinhardtQl, PackedCoordination
+
+    cvs, extra_attrs = [], {}
+    for c in cvs_cfg:
+        kind = c["kind"]
+        if kind == "lamellar":
+            cv = PackedLamellar.create([c["lattice_vector"]], n_real=n,
+                                       name=c["name"])
+            extra_attrs[cv.attr_name] = np.asarray(
+                c.get("mode", [1.0] * system.n_types), np.float32)[types]
+        elif kind == "mesh":
+            cv = PackedMesh.create(tuple(c["mesh"]), None, n_real=n,
+                                   k0=c["k0"], width=c.get("width", 0.5),
+                                   name=c["name"])
+            extra_attrs[cv.attr_name] = np.asarray(
+                c.get("mode", [1.0] * system.n_types), np.float32)[types]
+        elif kind in ("steinhardt", "q6"):
+            cv = PackedSteinhardtQl(spec=spec, r_cut=float(c["r_cut"]),
+                                    l=int(c.get("l", 6)), name=c["name"])
+        elif kind == "coordination":
+            cv = PackedCoordination(spec=spec, r0=float(c["r0"]),
+                                    name=c["name"])
+        elif kind == "msd":
+            cv = PackedMSD(n_real=n, name=c["name"])
+            extra_attrs.update(msd_reference_attrs(pos))
+        else:
+            raise ValueError(f"unknown packed cv kind {kind}")
+        cvs.append(cv)
+    return cvs, extra_attrs
+
+
+def _grid_from_cfg(cvs_cfg, mcfg):
+    from .bias.grid import GridSpec
+
+    if not all("grid" in c for c in cvs_cfg):
+        return None   # hill-list (non-grid) mode
+    return GridSpec.create(
+        [c["grid"]["min"] for c in cvs_cfg],
+        [c["grid"]["max"] for c in cvs_cfg],
+        [c["grid"]["num_points"] for c in cvs_cfg],
+        [c["grid"]["sigma"] for c in cvs_cfg],
+        periodic=[bool(c["grid"].get("periodic", False)) for c in cvs_cfg])
+
+
+def _integrator_factory(icfg, system, packed: bool):
+    from .integrate.langevin import make_langevin_step
+    from .integrate.nvt import make_nvt_nh_step, make_nvt_bdp_step
+    from .integrate.npt import make_npt_scr_step
+    from .integrate.packed import make_packed_langevin_step, \
+        make_packed_nve_step
+
+    kind = icfg.get("kind", "langevin")
+    dt = float(icfg["dt"])
+    kT = float(icfg.get("kT", 1.0))
+    if packed:
+        if kind == "langevin":
+            return lambda f: make_packed_langevin_step(
+                f, dt=dt, kT=kT, gamma=float(icfg.get("gamma", 1.0)))
+        if kind == "nve":
+            return lambda f: make_packed_nve_step(f, dt=dt)
+        raise ValueError(f"packed engine supports langevin/nve, got {kind}")
+    if kind == "langevin":
+        return lambda f: make_langevin_step(
+            f, system, dt=dt, kT=kT, gamma=float(icfg.get("gamma", 1.0)))
+    if kind == "nvt_nh":
+        return lambda f: make_nvt_nh_step(
+            f, system, dt=dt, kT=kT, tau=float(icfg.get("tau", 0.5)))
+    if kind == "nvt_bdp":
+        return lambda f: make_nvt_bdp_step(
+            f, system, dt=dt, kT=kT, tau=float(icfg.get("tau", 0.5)))
+    if kind == "npt_scr":
+        kw = dict(dt=dt, kT=kT, pressure=float(icfg["pressure"]),
+                  gamma=float(icfg.get("gamma", 1.0)),
+                  tau_p=float(icfg.get("tau_p", 2.0)),
+                  anisotropic=bool(icfg.get("anisotropic", False)),
+                  kappa=float(icfg.get("kappa", 0.1)))
+        if bool(icfg.get("box_bias", False)):
+            # box-shape metadynamics: couple the bias to the box DOF
+            from .cv.aspect_ratio import AspectRatio, box_bias_fn_for
+
+            def factory(f, bias, _kw=kw):
+                cv = AspectRatio()
+                return make_npt_scr_step(
+                    f, system, box_bias_fn=box_bias_fn_for(cv, bias), **_kw)
+            return factory
+        return lambda f: make_npt_scr_step(f, system, **kw)
+    raise ValueError(f"unknown integrator kind {kind}")
 
 
 def build_sampler(cfg: dict):
     import jax
     import jax.numpy as jnp
     from .core.box import Box
-    from .core.state import make_state, make_system, thermal_velocities
-    from .core.forcefield import ForceField
+    from .core.state import make_state, make_system
     from .core.engine import AllPairsEngine
     from .core.packed_engine import PackedEngine
-    from .ops.packed import PackedSpec
+    from .ops.packed import PackedSpec, bond_partner_attrs
     from .ops import pairs as pair_mod
-    from .integrate.langevin import make_langevin_step
-    from .integrate.packed import make_packed_langevin_step
-    from .cv.lamellar import LamellarOP
-    from .cv.mesh import MeshOrderParameter
-    from .cv.steinhardt import SteinhardtQl
-    from .cv.msd import MSD
-    from .cv.packed import PackedLamellar
-    from .bias.grid import GridSpec
     from .bias.metad import HillSpec, WallSpec
     from .sampler import MetadSampler
+    from .flux_sampler import FluxTemperedSampler
+    from .parallel.walkers import WalkerSampler
     from .utils import lattice
 
     sys_cfg = cfg["system"]
-    kT = float(cfg["integrator"].get("kT", 1.0))
+    icfg = cfg["integrator"]
+    kT = float(icfg.get("kT", 1.0))
+    out_cfg = cfg.get("output", {})
 
     # --- initial configuration -------------------------------------------
     init = sys_cfg["init"]
@@ -55,44 +178,87 @@ def build_sampler(cfg: dict):
         pos, bonds = lattice.polymer_melt(
             init["n_chains"], init["chain_len"], L,
             seed=init.get("seed", 0))
+        prerelax = int(init.get("prerelax_steps", 0))
+        if prerelax:
+            # push off the random-walk overlaps with the soft potential
+            # before the production pair potential (required — WCA+FENE on
+            # an overlapping melt blows up)
+            from .core.state import make_state as _mk
+            from .core.forcefield import ForceField
+            from .ops.bonds import FENEBondParams
+            from .ops.pairs import soft_tables, soft_kernel
+            from .integrate.langevin import make_langevin_step as _mls
+            from .integrate.base import run_steps as _rs
+            n0 = pos.shape[0]
+            # push-off is type-blind (single soft table)
+            sys0 = make_system(n0, bonds=bonds)
+            fene0 = cfg["engine"].get("fene", {"k": 30.0, "r0": 1.5})
+            ff0 = ForceField(
+                pair_params=soft_tables(1, A=100.0, r_cut=1.0),
+                pair_kernel=soft_kernel, row_block=min(n0, 1024),
+                fene=FENEBondParams(
+                    k=jnp.full(1, float(fene0["k"])),
+                    r0=jnp.full(1, float(fene0["r0"])),
+                    epsilon=jnp.ones(1), sigma=jnp.ones(1)))
+            fa0 = ff0.bind(sys0)
+            st0 = fa0(_mk(pos, Box.cubic(float(L))))
+            step0 = _mls(fa0, sys0, dt=0.002, kT=kT, gamma=2.0)
+            st0 = jax.jit(lambda s: _rs(step0, s, jax.random.PRNGKey(
+                int(init.get("seed", 0)) + 99), prerelax))(st0)
+            pos = np.asarray(st0.unwrapped_pos())
     else:
         raise ValueError(f"unknown init kind {kind}")
     n = pos.shape[0]
     box = Box.cubic(float(L))
-    types = np.asarray(sys_cfg.get("types", np.zeros(n)), np.int32)
+    tcfg = sys_cfg.get("types", None)
+    if tcfg == "diblock":
+        # diblock copolymer: first half of each chain type 0 (A), second
+        # half type 1 (B) — pair with cv mode [1, -1] for the A-B contrast
+        cl = int(init["chain_len"])
+        t = np.zeros((n // cl, cl), np.int32)
+        t[:, cl // 2:] = 1
+        types = t.reshape(-1)
+    else:
+        types = np.asarray(tcfg if tcfg is not None else np.zeros(n),
+                           np.int32)
     system = make_system(n, types=types, bonds=bonds)
 
     rng = np.random.default_rng(int(cfg.get("seed", 0)))
     vel = rng.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
     vel -= vel.mean(axis=0)
 
-    # --- engine ------------------------------------------------------------
+    # --- engine ----------------------------------------------------------
     eng_cfg = cfg["engine"]
     pair = eng_cfg.get("pair", {"kind": "lj", "r_cut": 2.5})
     cvs_cfg = cfg.get("cvs", [])
+    mcfg = cfg["metadynamics"]
+    mode = mcfg.get("mode", "standard")
+    n_walkers = int(mcfg.get("n_walkers", 1))
+
     if eng_cfg["kind"] == "packed":
+        r_cut = float(pair.get("r_cut", 2.0 ** (1 / 6)
+                               if pair["kind"] == "wca" else 2.5))
+        fene = eng_cfg.get("fene")
         spec = PackedSpec.create(
-            L, n, r_cut=float(pair["r_cut"]),
+            L, n, r_cut=r_cut,
             skin=float(eng_cfg.get("skin", 0.4)),
             cap=eng_cfg.get("cap"),
-            shift_energy=bool(pair.get("shift", False)))
-        engine = PackedEngine(spec)
-        cvs, extra_attrs = [], {}
-        for c in cvs_cfg:
-            assert c["kind"] == "lamellar", \
-                "packed engine CLI currently supports lamellar CVs"
-            cv = PackedLamellar.create([c["lattice_vector"]], n_real=n,
-                                       name=c["name"])
-            cvs.append(cv)
-            extra_attrs[cv.attr_name] = np.asarray(
-                c.get("mode", [1.0] * system.n_types), np.float32)[types]
+            shift_energy=bool(pair.get("shift", pair["kind"] == "wca")),
+            fene_k=None if fene is None else float(fene["k"]),
+            fene_r0=None if fene is None else float(fene["r0"]),
+            uniform_sigma=eng_cfg.get("uniform_sigma"))
+        engine = PackedEngine(
+            spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+        cvs, extra_attrs = _build_packed_cvs(cvs_cfg, spec, n, types, pos,
+                                             system)
+        if fene is not None:
+            assert bonds is not None, "fene engine config needs melt init"
+            extra_attrs.update(bond_partner_attrs(bonds, n))
         state, ovf = engine.pack_state(
             pos, box, jnp.asarray(types), eps_i=jnp.ones(n),
             sigma_i=jnp.ones(n), vel=vel, extra_attrs=extra_attrs)
         assert not bool(ovf), "cell capacity overflow at pack"
-        integ = lambda f: make_packed_langevin_step(
-            f, dt=float(cfg["integrator"]["dt"]), kT=kT,
-            gamma=float(cfg["integrator"].get("gamma", 1.0)))
+        packed = True
     else:
         tables = {"lj": pair_mod.lj_tables, "wca": pair_mod.wca_tables,
                   "soft": pair_mod.soft_tables}
@@ -103,61 +269,126 @@ def build_sampler(cfg: dict):
         engine = AllPairsEngine(system, pair_params=params, pair_kernel=kern,
                                 row_block=int(eng_cfg.get("row_block", 1024)))
         state = make_state(pos, box, vel=vel)
-        cvs = []
-        for c in cvs_cfg:
-            if c["kind"] == "lamellar":
-                cvs.append(LamellarOP.create(
-                    mode=c.get("mode", [1.0] * system.n_types),
-                    lattice_vectors=[c["lattice_vector"]], name=c["name"]))
-            elif c["kind"] == "mesh":
-                cvs.append(MeshOrderParameter.create(
-                    tuple(c["mesh"]), L, mode=c.get("mode", [1.0] * system.n_types),
-                    k0=c["k0"], width=c.get("width", 0.5), name=c["name"]))
-            elif c["kind"] == "steinhardt":
-                cvs.append(SteinhardtQl(r_cut=c["r_cut"], l=c.get("l", 6),
-                                        name=c["name"]))
-            elif c["kind"] == "msd":
-                cvs.append(MSD.create(pos, name=c["name"]))
-            else:
-                raise ValueError(f"unknown cv kind {c['kind']}")
-        integ = lambda f: make_langevin_step(
-            f, system, dt=float(cfg["integrator"]["dt"]), kT=kT,
-            gamma=float(cfg["integrator"].get("gamma", 1.0)))
+        cvs = _build_particle_cvs(cvs_cfg, system, L, pos)
+        packed = False
 
-    # --- metadynamics -------------------------------------------------------
-    mcfg = cfg["metadynamics"]
-    grid = GridSpec.create(
-        [c["grid"]["min"] for c in cvs_cfg],
-        [c["grid"]["max"] for c in cvs_cfg],
-        [c["grid"]["num_points"] for c in cvs_cfg],
-        [c["grid"]["sigma"] for c in cvs_cfg])
+    integ = _integrator_factory(icfg, system, packed)
+
+    # --- metadynamics ----------------------------------------------------
+    grid = _grid_from_cfg(cvs_cfg, mcfg)
+    walls = (WallSpec.at_grid_edges(grid, k=float(mcfg["wall_k"]))
+             if ("wall_k" in mcfg and grid is not None) else None)
+
+    if mode == "flux_tempered":
+        assert grid is not None, "flux-tempered mode needs a CV grid"
+        sampler = FluxTemperedSampler(
+            system, state, engine, cvs=cvs, grid_spec=grid,
+            integrator_factory=integ, kT=kT,
+            stride=int(mcfg["stride"]),
+            update_period=int(mcfg.get("update_period", 20)),
+            seed=int(cfg.get("seed", 0)), walls=walls,
+            update_rule=mcfg.get("update_rule", "flux"))
+        return sampler, cfg
+
     hills = HillSpec.create(
         W=float(mcfg["W"]), stride=int(mcfg["stride"]),
-        mode=mcfg.get("mode", "standard"),
-        deltaT=float(mcfg.get("deltaT", 1.0)))
-    walls = (WallSpec.at_grid_edges(grid, k=float(mcfg["wall_k"]))
-             if "wall_k" in mcfg else None)
-    return MetadSampler(
+        mode=mode, deltaT=float(mcfg.get("deltaT", 1.0)))
+
+    if n_walkers > 1:
+        import jax as _jax
+        assert grid is not None, "multi-walker mode needs a CV grid"
+        # replicate the initial state per walker with per-walker velocities
+        def re_vel(w):
+            r2 = np.random.default_rng(1000 + w)
+            v = r2.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
+            return v - v.mean(axis=0)
+        if packed:
+            def pack_one(w):
+                st, ovf2 = engine.pack_state(
+                    pos, box, jnp.asarray(types), eps_i=jnp.ones(n),
+                    sigma_i=jnp.ones(n), vel=re_vel(w),
+                    extra_attrs=extra_attrs)
+                assert not bool(ovf2)
+                return st
+            states = _jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[pack_one(w) for w in range(n_walkers)])
+        else:
+            states = _jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[make_state(pos, box, vel=re_vel(w))
+                  for w in range(n_walkers)])
+        from jax.sharding import Mesh
+        devs = _jax.devices()
+        assert len(devs) >= n_walkers, (
+            f"{n_walkers} walkers need {n_walkers} devices, "
+            f"have {len(devs)}")
+        sampler = WalkerSampler(
+            system, states, engine, cvs=cvs, grid_spec=grid, hills=hills,
+            integrator_factory=integ,
+            mesh=Mesh(np.asarray(devs[:n_walkers]), ("walkers",)),
+            seed=int(cfg.get("seed", 0)), walls=walls,
+            hill_file=out_cfg.get("hill_file"),
+            overwrite=bool(out_cfg.get("overwrite", True)),
+            chunks_per_block=int(cfg.get("chunks_per_block", 16)))
+        return sampler, cfg
+
+    sampler = MetadSampler(
         system, state, engine, cvs=cvs, grid_spec=grid, hills=hills,
         integrator_factory=integ, seed=int(cfg.get("seed", 0)),
-        hill_file=cfg.get("output", {}).get("hill_file"),
-        overwrite=bool(cfg.get("output", {}).get("overwrite", True)),
+        hill_file=out_cfg.get("hill_file"),
+        overwrite=bool(out_cfg.get("overwrite", True)),
         walls=walls,
+        hill_sigma=[c.get("sigma", mcfg.get("sigma", 0.1)) for c in cvs_cfg]
+        if grid is None else None,
+        hill_capacity=int(mcfg.get("hill_capacity", 4096)),
         chunks_per_block=int(cfg.get("chunks_per_block", 16)),
-    ), cfg
+    )
+    return sampler, cfg
 
 
 def cmd_run(args) -> int:
+    import jax
+    # persistent compile cache: first TPU compile of a biased step is slow
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("METADYN_JAX_CACHE",
+                                     os.path.expanduser("~/.jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import yaml
     from .io.metrics import CSVLogger
     from .io.grid_file import dump_grid
+    from .io.checkpoint import save_checkpoint, load_checkpoint
+    from .io.trajectory import TrajectoryWriter
+    from .sampler import MetadSampler
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
     sampler, cfg = build_sampler(cfg)
     out_cfg = cfg.get("output", {})
-    logger = (CSVLogger(out_cfg["log_file"], overwrite=True)
+    logger = (CSVLogger(out_cfg["log_file"], overwrite=not args.resume)
               if "log_file" in out_cfg else None)
+    ckpt_path = out_cfg.get("checkpoint")
+    ckpt_every = int(out_cfg.get("checkpoint_every", 0))
+    traj = (TrajectoryWriter(out_cfg["trajectory"],
+                             overwrite=not args.resume)
+            if "trajectory" in out_cfg else None)
+
+    if args.resume:
+        assert ckpt_path and os.path.exists(ckpt_path), (
+            "--resume needs output.checkpoint pointing at an existing file")
+        if hasattr(sampler, "load_checkpoint"):       # WalkerSampler
+            sampler.load_checkpoint(ckpt_path)
+        else:
+            sampler.carry, _ = load_checkpoint(ckpt_path, sampler.carry)
+        print(f"resumed from {ckpt_path}", flush=True)
+
+    def save_ckpt():
+        if not ckpt_path:
+            return
+        if hasattr(sampler, "save_checkpoint"):
+            sampler.save_checkpoint(ckpt_path)
+        else:
+            save_checkpoint(ckpt_path, sampler.carry)
+
     n_steps = int(cfg["run"]["n_steps"])
     report = int(cfg["run"].get("report_every", n_steps))
     done = 0
@@ -168,12 +399,24 @@ def cmd_run(args) -> int:
         if logger:
             logger.append(hist)
         m = hist[-1]
-        print(f"step {int(m['step'])}: T={float(m['temperature']):.3f} "
-              f"cv={np.asarray(m['cv']).round(4).tolist()} "
-              f"V={float(m['bias_V']):.3f}", flush=True)
-    if "grid_file" in out_cfg:
+        cv = np.asarray(m["cv"]).round(4)
+        temp = np.asarray(m["temperature"])
+        print(f"step {done}: T={np.mean(temp):.3f} "
+              f"cv={cv.tolist()}", flush=True)
+        if traj is not None and isinstance(sampler, MetadSampler):
+            st = sampler.state
+            if hasattr(st, "pos"):
+                traj.append(np.asarray(st.pos), np.asarray(st.image),
+                            np.asarray(st.box.L), done)
+        if ckpt_every and (done % ckpt_every == 0):
+            save_ckpt()
+    save_ckpt()
+    if "grid_file" in out_cfg and hasattr(sampler, "bias") \
+            and hasattr(sampler.bias, "grid"):
+        hills = getattr(sampler, "hills", None)
         dump_grid(out_cfg["grid_file"], sampler.bias,
-                  mode=sampler.hills.mode, deltaT=float(sampler.hills.deltaT))
+                  mode=hills.mode if hills is not None else "flux_tempered",
+                  deltaT=float(hills.deltaT) if hills is not None else 1.0)
         print(f"grid written to {out_cfg['grid_file']}")
     return 0
 
@@ -184,6 +427,8 @@ def main(argv=None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     runp = sub.add_parser("run", help="run a simulation from a YAML config")
     runp.add_argument("config")
+    runp.add_argument("--resume", action="store_true",
+                      help="resume from output.checkpoint")
     args = p.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)

@@ -1,0 +1,112 @@
+"""CLI coverage: every baseline config (1-5) expressed as YAML runs
+through ``metadyn run`` (shrunk sizes — CPU smoke), plus checkpoint
+--resume (VERDICT r1 item 9)."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from metadyn_tpu.cli import main
+
+
+def _shrunk(cfg_path, tmp_path, **over):
+    with open(cfg_path) as f:
+        cfg = yaml.safe_load(f)
+
+    def merge(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                merge(dst[k], v)
+            else:
+                dst[k] = v
+
+    merge(cfg, over)
+    # route outputs into tmp
+    out = cfg.setdefault("output", {})
+    for k in ("hill_file", "log_file", "grid_file", "checkpoint",
+              "trajectory"):
+        if k in out:
+            out[k] = str(tmp_path / os.path.basename(out[k]))
+    p = tmp_path / "cfg.yaml"
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return str(p), cfg
+
+
+def test_cli_config1(tmp_path):
+    p, cfg = _shrunk("examples/config1_lj_lamellar.yaml", tmp_path,
+                     run={"n_steps": 250, "report_every": 250})
+    assert main(["run", p]) == 0
+    assert os.path.exists(cfg["output"]["grid_file"])
+    assert len(open(cfg["output"]["hill_file"]).readlines()) == 11
+
+
+def test_cli_config2_mesh_melt(tmp_path):
+    p, cfg = _shrunk(
+        "examples/config2_diblock_sk.yaml", tmp_path,
+        system={"init": {"n_chains": 40, "chain_len": 10, "box_L": 10.2,
+                         "prerelax_steps": 400}},
+        engine={"cap": 64},
+        cvs=[{"name": "sk", "kind": "mesh", "mesh": [16, 16, 16],
+              "k0": 2.45, "width": 0.4, "mode": [1.0, -1.0],
+              "grid": {"min": 0.0, "max": 40.0, "num_points": 41,
+                       "sigma": 1.0}}],
+        run={"n_steps": 200, "report_every": 200},
+        metadynamics={"stride": 100})
+    assert main(["run", p]) == 0
+    assert os.path.exists(cfg["output"]["grid_file"])
+
+
+def test_cli_config3_q6_coord(tmp_path):
+    p, cfg = _shrunk(
+        "examples/config3_nucleation_2dcv.yaml", tmp_path,
+        system={"init": {"n_cells": 7}},
+        engine={"cap": 64},
+        run={"n_steps": 200, "report_every": 200},
+        metadynamics={"stride": 100})
+    assert main(["run", p]) == 0
+    assert os.path.exists(cfg["output"]["grid_file"])
+    rows = open(cfg["output"]["hill_file"]).readlines()
+    assert len(rows) == 3  # header + 2 hills (2-D centers)
+    assert len(rows[1].split()) == 6  # step, q6, coord, 2 sigmas, height
+
+
+def test_cli_config4_walkers(tmp_path):
+    p, cfg = _shrunk(
+        "examples/config4_walkers.yaml", tmp_path,
+        system={"init": {"n_cells": 6, "a": 1.71}},
+        run={"n_steps": 40, "report_every": 40},
+        metadynamics={"stride": 20})
+    assert main(["run", p]) == 0
+    rows = open(cfg["output"]["hill_file"]).readlines()
+    assert len(rows) == 1 + 2 * 8  # 2 strides x 8 walkers
+
+
+def test_cli_config5_flux(tmp_path):
+    p, cfg = _shrunk(
+        "examples/config5_flux.yaml", tmp_path,
+        system={"init": {"n_chains": 30, "chain_len": 8, "box_L": 8.2,
+                         "prerelax_steps": 400}},
+        run={"n_steps": 400, "report_every": 400},
+        metadynamics={"stride": 50, "update_period": 2})
+    assert main(["run", p]) == 0
+    assert os.path.exists(cfg["output"]["grid_file"])
+
+
+def test_cli_checkpoint_resume(tmp_path):
+    base = dict(
+        system={"init": {"kind": "fcc", "n_cells": 4, "a": 1.8}},
+        run={"n_steps": 100, "report_every": 50},
+        output={"checkpoint": "ck.npz", "checkpoint_every": 50,
+                "grid_file": "g.npz"})
+    p, cfg = _shrunk("examples/config1_lj_lamellar.yaml", tmp_path, **base)
+    assert main(["run", p]) == 0
+    ck = cfg["output"]["checkpoint"]
+    assert os.path.exists(ck)
+    from metadyn_tpu.io.grid_file import load_grid
+    b1, _ = load_grid(cfg["output"]["grid_file"])
+    # resume continues from the checkpoint (bias keeps growing)
+    assert main(["run", p, "--resume"]) == 0
+    b2, _ = load_grid(cfg["output"]["grid_file"])
+    assert int(b2.n_hills) > int(b1.n_hills)
