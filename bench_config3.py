@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Honest Config-3 datapoint (BASELINE.json:9): 64k LJ particles with the
+LITERAL config — Steinhardt Q6 + coordination CVs on a 2-D well-tempered
+grid — reported alongside bench.py's headline number (VERDICT r1 item 10).
+
+The order-CV sweeps dominate: per step the bias force evaluates both CVs
+and their analytic gradients over the cell-pair structure (Newton-halved
+sweeps + closed-form dY_lm contraction; see cv/packed_order.py).  History:
+1.4M (vjp path, r1) → 4.9M particle-steps/s/chip (analytic two-pass).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is against the same 50M north star for context (the north
+star itself is defined on the 2-CV lamellar bench, BASELINE.json:2,5).
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.state import make_system
+from metadyn_tpu.core.packed_engine import PackedEngine
+from metadyn_tpu.ops.packed import PackedSpec
+from metadyn_tpu.integrate.packed import make_packed_langevin_step
+from metadyn_tpu.cv.packed_order import PackedSteinhardtQl, PackedCoordination
+from metadyn_tpu.bias.grid import GridSpec
+from metadyn_tpu.bias.metad import HillSpec, WallSpec, WELL_TEMPERED
+from metadyn_tpu.sampler import MetadSampler
+from metadyn_tpu.utils.lattice import fcc_lattice
+
+BASELINE = 50e6
+
+
+def main():
+    rho = 0.95                         # supercooled: nucleation regime
+    a = (4.0 / rho) ** (1.0 / 3.0)
+    n_cells = 25
+    pos = fcc_lattice(n_cells, a)
+    n = pos.shape[0]
+    L = n_cells * a
+    box = Box.cubic(L)
+    kT = 0.6
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40,
+                             shift_energy=False, uniform_sigma=1.0)
+    engine = PackedEngine(spec, rebuild_every=10)
+    system = make_system(n)
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0.0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    state, overflow = engine.pack_state(
+        pos, box, jnp.zeros(n, jnp.int32),
+        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=vel)
+    assert not bool(overflow), "cell capacity overflow at pack"
+
+    nn = a / np.sqrt(2)
+    q6 = PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6")
+    co = PackedCoordination(spec=spec, r0=nn * 1.35, name="coord")
+    grid = GridSpec.create([0.0, 6.0], [0.7, 18.0], [48, 48], [0.015, 0.25])
+    stride = 100
+    sampler = MetadSampler(
+        system, state, engine, cvs=[q6, co], grid_spec=grid,
+        hills=HillSpec.create(W=0.4, stride=stride, mode=WELL_TEMPERED,
+                              deltaT=6.0),
+        integrator_factory=lambda f: make_packed_langevin_step(
+            f, dt=0.004, kT=kT, gamma=1.0),
+        seed=0, chunks_per_block=2,
+        walls=WallSpec.at_grid_edges(grid, k=200.0))
+
+    sampler.run(stride * 2)            # compile + settle
+    n_meas = stride * 4
+    t0 = time.time()
+    hist = sampler.run(n_meas)
+    dt = time.time() - t0
+    rate = n * n_meas / dt
+
+    m = hist[-1]
+    ok = (np.isfinite(m["potential_energy"]) and np.isfinite(m["cv"]).all()
+          and not bool(m["nlist_overflow"]))
+    if not ok:
+        print(json.dumps({"metric": "config3_q6_coord_particle_steps_per_sec",
+                          "value": 0.0, "unit": "particle-steps/s",
+                          "vs_baseline": 0.0, "error": "run invalid"}))
+        return 1
+    print(json.dumps({
+        "metric": "config3_q6_coord_particle_steps_per_sec",
+        "value": round(rate, 0),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(rate / BASELINE, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,10 +23,16 @@ from ..ops.packed import PackedSpec, PackedState, _roll_offsets
 from .steinhardt import _plm_over_sinm_coeffs, _norms, ql_from_sums
 
 
-def _offset_pair_sweep(state: PackedState, spec: PackedSpec, per_pair):
-    """Accumulate Σ_pairs per_pair(dx, dy, dz, r2, w_pair) over the 27-offset
-    roll structure.  ``per_pair`` returns a pytree of scalars; w_pair is the
-    validity weight (1 for real–real pairs inside r_list)."""
+def _offset_pair_sweep(state: PackedState, spec: PackedSpec, per_pair,
+                       half: bool = False):
+    """Accumulate Σ_pairs per_pair(dx, dy, dz, r2, w_pair) over the roll
+    structure.  ``per_pair`` returns a pytree of scalars; w_pair is the
+    validity weight (1 for real–real pairs inside r_list).
+
+    ``half=True`` (Newton halving): only the self offset + the 13
+    lexicographically-positive offsets are enumerated, with cross-cell
+    pair weight 2 — VALID ONLY for per_pair functions even under
+    d → −d (Q_l with even l: Y_lm parity (−1)^l; coordination: r²-only)."""
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
     view = lambda a: a.reshape(cap, cx, cy, cz)
@@ -37,6 +43,45 @@ def _offset_pair_sweep(state: PackedState, spec: PackedSpec, per_pair):
     L = state.box.L
     acc = None
     for (o, ushift) in _roll_offsets(spec):
+        if half and o < (0, 0, 0):
+            continue
+        wt = 2.0 if (half and o != (0, 0, 0)) else 1.0
+        roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
+        shift = jnp.asarray(ushift)
+        dxs = []
+        r2 = jnp.zeros((cap, cap, C), jnp.float32)
+        for d in range(3):
+            xj = roll(x4[d]).reshape(cap, C) + shift[d][None, :] * L[d]
+            c = xi[d] - xj[:, None, :]
+            dxs.append(c)
+            r2 = r2 + c * c
+        vj = roll(valid4).reshape(cap, C)[:, None, :]
+        w = wt * vi * vj * (r2 > 1e-12)
+        out = per_pair(dxs[0], dxs[1], dxs[2], r2, w)
+        acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
+    return acc
+
+
+def _offset_force_sweep(state: PackedState, spec: PackedSpec, pair_grad):
+    """Accumulate F_i = Σ_j w·pair_grad(d_ij) over the Newton-halved
+    offset set — returns (3, Npad).  ``pair_grad(dx,dy,dz,r2)`` must be
+    the d-gradient of an EVEN per-pair scalar φ; per ordered pair the i
+    side gets +φ'(d) and the j side −φ'(d) = +φ'(d_ji) (parity), so the
+    half sweep with a rolled-back reaction reproduces the full one."""
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    view = lambda a: a.reshape(cap, cx, cy, cz)
+    roll_back = lambda a, o: jnp.roll(view(a), shift=(o[0], o[1], o[2]),
+                                      axis=(1, 2, 3)).reshape(cap, C)
+    x4 = [view(state.r[d].reshape(cap, C)) for d in range(3)]
+    valid4 = view((state.pid < spec.n_real).astype(jnp.float32).reshape(cap, C))
+    vi = valid4.reshape(cap, C)[None, :, :]
+    xi = [x4[d].reshape(cap, C)[None, :, :] for d in range(3)]
+    L = state.box.L
+    fx = [jnp.zeros((cap, C), jnp.float32) for _ in range(3)]
+    for (o, ushift) in _roll_offsets(spec):
+        if o < (0, 0, 0):
+            continue
         roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
         shift = jnp.asarray(ushift)
         dxs = []
@@ -48,9 +93,14 @@ def _offset_pair_sweep(state: PackedState, spec: PackedSpec, per_pair):
             r2 = r2 + c * c
         vj = roll(valid4).reshape(cap, C)[:, None, :]
         w = vi * vj * (r2 > 1e-12)
-        out = per_pair(dxs[0], dxs[1], dxs[2], r2, w)
-        acc = out if acc is None else jax.tree.map(jnp.add, acc, out)
-    return acc
+        gx, gy, gz = pair_grad(dxs[0], dxs[1], dxs[2], r2)
+        for d, g in enumerate((gx, gy, gz)):
+            wg = w * g
+            fx[d] = fx[d] + jnp.sum(wg, axis=0)       # i side
+            if o != (0, 0, 0):
+                # j-side reaction in the rolled frame, rolled back
+                fx[d] = fx[d] - roll_back(jnp.sum(wg, axis=1), o)
+    return jnp.stack([f.reshape(-1) for f in fx])
 
 
 @struct.dataclass
@@ -66,12 +116,15 @@ class PackedSteinhardtQl:
     def __post_init__(self):
         assert self.r_cut <= self.spec.r_list + 1e-6, (
             "Q_l r_cut must be within the cell stencil (r_cut + skin)")
+        assert self.l % 2 == 0, (
+            "packed Q_l uses the Newton-halved sweep (parity (−1)^l): "
+            "even l only (the global sum vanishes for odd l anyway)")
 
     @property
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
-    def value(self, state: PackedState, system: System) -> jax.Array:
+    def _sums(self, state: PackedState):
         coeffs = _plm_over_sinm_coeffs(self.l)
         norms = _norms(self.l)
         rcq2 = self.r_cut ** 2
@@ -94,8 +147,77 @@ class PackedSteinhardtQl:
                 pr, pi = pr * ux - pi * uy, pr * uy + pi * ux
             return jnp.stack(re), jnp.stack(im), jnp.sum(w)
 
-        re, im, nb = _offset_pair_sweep(state, self.spec, per_pair)
+        return _offset_pair_sweep(state, self.spec, per_pair, half=True)
+
+    def value(self, state: PackedState, system: System) -> jax.Array:
+        re, im, nb = self._sums(state)
         return ql_from_sums(re, im, nb, self.l)
+
+    def accum_bias_force(self, state: PackedState, system: System,
+                         dVds: jax.Array, f_acc: jax.Array) -> jax.Array:
+        """Hot-path analytic bias force (SURVEY.md §7 hard part 4, the
+        "fuse later" step; oracle-tested against the vjp path).
+
+        Two passes: (1) the value sums (S_m, nb); (2) the tiny outer
+        gradient g_m = ∂Q/∂S_m (jax.grad over 2l+3 scalars) contracted
+        into ONE analytic pair sweep.  Per ordered pair the scalar
+        φ(d) = Σ_m N_m p_m(cosθ)·Re[(g^re_m − i g^im_m)·u^m] is
+        differentiated in closed form (u = (dx+i dy)/r); both orderings
+        contribute +∂φ/∂d to particle i (even parity), so the sweep needs
+        no j-side scatter.  The hard-cutoff weight has zero gradient a.e.
+        (∂nb/∂r ≡ 0)."""
+        re, im, nb = self._sums(state)
+        gre, gim = jax.grad(
+            lambda a, b: ql_from_sums(a, b, nb, self.l), argnums=(0, 1)
+        )(re, im)
+        coeffs = _plm_over_sinm_coeffs(self.l)
+        dcoeffs = [np.asarray([c[i] * i for i in range(1, c.shape[0])]
+                              or [0.0]) for c in coeffs]
+        norms = _norms(self.l)
+        rcq2 = self.r_cut ** 2
+
+        def pair_grad(dx, dy, dz, r2):
+            inside = (r2 < rcq2)
+            r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+            inv_r = jax.lax.rsqrt(r2s)
+            cth = dz * inv_r
+            ux, uy = dx * inv_r, dy * inv_r
+            pr = jnp.ones_like(cth)      # Re u^m
+            pi = jnp.zeros_like(cth)     # Im u^m
+            qr = jnp.zeros_like(cth)     # Re u^{m-1}
+            qi = jnp.zeros_like(cth)
+            D = jnp.zeros_like(cth)      # Σ N_m p'_m(c)·Re[A_m u^m]
+            E = jnp.zeros_like(cth)      # Σ N_m p_m(c)·Br_m
+            F = jnp.zeros_like(cth)      # Σ N_m p_m(c)·Bi_m
+            BU = jnp.zeros_like(cth)     # Σ N_m p_m(c)·Re[B_m·u]
+            for m in range(self.l + 1):
+                pl_ = jnp.zeros_like(cth)
+                for a in coeffs[m][::-1]:
+                    pl_ = pl_ * cth + a
+                dpl = jnp.zeros_like(cth)
+                for a in dcoeffs[m][::-1]:
+                    dpl = dpl * cth + a
+                a_re = gre[m]
+                a_im = gim[m]
+                D = D + norms[m] * dpl * (a_re * pr + a_im * pi)
+                if m > 0:
+                    br = m * (a_re * qr + a_im * qi)
+                    bi = m * (a_re * qi - a_im * qr)
+                    E = E + norms[m] * pl_ * br
+                    F = F + norms[m] * pl_ * bi
+                    BU = BU + norms[m] * pl_ * (br * ux - bi * uy)
+                qr, qi = pr, pi
+                pr, pi = pr * ux - pi * uy, pr * uy + pi * ux
+            gx = (D * (-cth * ux) + E - ux * BU) * inv_r
+            gy = (D * (-cth * uy) - F - uy * BU) * inv_r
+            gz = (D * (1.0 - cth * cth) - cth * BU) * inv_r
+            z = jnp.float32(0.0)
+            return (jnp.where(inside, gx, z), jnp.where(inside, gy, z),
+                    jnp.where(inside, gz, z))
+
+        grad = _offset_force_sweep(state, self.spec, pair_grad)
+        # both orderings of each pair hit the i side: factor 2
+        return f_acc - dVds * 2.0 * grad
 
 
 @struct.dataclass
@@ -130,5 +252,22 @@ class PackedCoordination:
             s = 1.0 / (1.0 + y3)
             return (jnp.sum(w * s),)
 
-        (tot,) = _offset_pair_sweep(state, self.spec, per_pair)
+        (tot,) = _offset_pair_sweep(state, self.spec, per_pair, half=True)
         return tot / self.spec.n_real
+
+    def accum_bias_force(self, state: PackedState, system: System,
+                         dVds: jax.Array, f_acc: jax.Array) -> jax.Array:
+        """Analytic bias force: φ(d) = 1/(1+(r²/r0²)³), ∂φ/∂d =
+        −3t²/(r0²(1+t³)²)·2d with t = r²/r0²; factor 2 for the two pair
+        orderings (even parity, no j-side scatter needed)."""
+        r02 = self.r0 ** 2
+
+        def pair_grad(dx, dy, dz, r2):
+            t = r2 / r02
+            t3 = t * t * t
+            dphi_dr2 = -3.0 * t * t / (r02 * (1.0 + t3) ** 2)
+            c = 2.0 * dphi_dr2
+            return c * dx, c * dy, c * dz
+
+        grad = _offset_force_sweep(state, self.spec, pair_grad)
+        return f_acc - dVds * (2.0 / self.spec.n_real) * grad

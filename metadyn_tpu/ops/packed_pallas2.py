@@ -220,7 +220,11 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
     cap8 = ((cap + 7) // 8) * 8
-    ct_budget = max(128, (11 * 2**20) // (90 * 4 * cap8) // 128 * 128)
+    # live-temp count scales with the j-loop unroll: CH=cap (full unroll,
+    # chosen in _kernel when cap8 % 40 == 0) keeps ~2x the slab rows alive
+    # (measured 22.3M scoped vmem at cap8=40, CT=768 → ~190 rows)
+    live_rows = 200 if cap8 % 40 == 0 else 90
+    ct_budget = max(128, (11 * 2**20) // (live_rows * 4 * cap8) // 128 * 128)
     # pick the tile count minimizing total padding (measured: 12% Cpad
     # waste costs more than the extra grid steps of smaller tiles); ties
     # prefer larger tiles (fewer programs)

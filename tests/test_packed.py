@@ -236,3 +236,102 @@ def test_packed_pallas2_uniform_sigma_matches_general():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(a.potential_energy),
                                float(b.potential_energy), rtol=1e-5)
+
+
+def _order_cv_state(seed=9):
+    from metadyn_tpu.utils.lattice import fcc_lattice
+    a_lat = 1.62
+    pos = fcc_lattice(6, a_lat)
+    n = pos.shape[0]
+    L = 6 * a_lat
+    rng = np.random.default_rng(seed)
+    pos = pos + rng.normal(0, 0.08, pos.shape).astype(np.float32)
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n))
+    assert not bool(ovf)
+    return st, spec, n
+
+
+def test_packed_order_cv_analytic_force_matches_vjp():
+    """Q6 and coordination analytic accum_bias_force == jax.vjp of the
+    value function (SURVEY.md §7 hard part 4 'grad first, fuse later' —
+    the fused path with the autodiff oracle)."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed_order import (
+        PackedSteinhardtQl, PackedCoordination)
+    st, spec, n = _order_cv_state()
+    system = make_system(n)
+    nn = 1.62 / np.sqrt(2)
+    cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6"),
+           PackedCoordination(spec=spec, r0=nn * 1.35, name="co")]
+    dVds = jnp.asarray([0.9, -1.3], jnp.float32)
+
+    def stacked(r):
+        st2 = st.replace(r=r)
+        return jnp.stack([cv.value(st2, system) for cv in cvs])
+
+    _, vjp = jax.vjp(stacked, st.r)
+    (g,) = vjp(dVds)
+    f_oracle = -np.asarray(g)
+    f = jnp.zeros_like(st.r)
+    for i, cv in enumerate(cvs):
+        f = cv.accum_bias_force(st, system, dVds[i], f)
+    scale = np.abs(f_oracle).max()
+    np.testing.assert_allclose(np.asarray(f), f_oracle,
+                               rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_packed_order_half_sweep_matches_full():
+    """Newton-halved value sweep == full 27-offset sweep (even-l parity)."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed_order import (
+        PackedSteinhardtQl, PackedCoordination, _offset_pair_sweep)
+    st, spec, n = _order_cv_state(seed=4)
+    system = make_system(n)
+    nn = 1.62 / np.sqrt(2)
+    for cv in (PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6),
+               PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=4),
+               PackedCoordination(spec=spec, r0=nn * 1.35)):
+        v_half = float(cv.value(st, system))
+        # full sweep via the internal helper
+        if hasattr(cv, "_sums"):
+            coeffs_fn = cv._sums  # uses half=True internally
+
+            def per_pair_full(dx, dy, dz, r2, w):
+                rcq2 = cv.r_cut ** 2
+                from metadyn_tpu.cv.steinhardt import (
+                    _plm_over_sinm_coeffs, _norms)
+                w = w * (r2 < rcq2)
+                r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+                inv_r = jax.lax.rsqrt(r2s)
+                cth = dz * inv_r
+                ux, uy = dx * inv_r, dy * inv_r
+                pr, pi = jnp.ones_like(cth), jnp.zeros_like(cth)
+                re, im = [], []
+                coeffs = _plm_over_sinm_coeffs(cv.l)
+                norms = _norms(cv.l)
+                for m in range(cv.l + 1):
+                    pl_ = jnp.zeros_like(cth)
+                    for a in coeffs[m][::-1]:
+                        pl_ = pl_ * cth + a
+                    re.append(jnp.sum(w * norms[m] * pl_ * pr))
+                    im.append(jnp.sum(w * norms[m] * pl_ * pi))
+                    pr, pi = pr * ux - pi * uy, pr * uy + pi * ux
+                return jnp.stack(re), jnp.stack(im), jnp.sum(w)
+
+            from metadyn_tpu.cv.steinhardt import ql_from_sums
+            re, im, nb = _offset_pair_sweep(st, spec, per_pair_full,
+                                            half=False)
+            v_full = float(ql_from_sums(re, im, nb, cv.l))
+        else:
+            r02 = cv.r0 ** 2
+
+            def per_pair_full(dx, dy, dz, r2, w):
+                y3 = (r2 / r02) ** 3
+                return (jnp.sum(w / (1.0 + y3)),)
+
+            (tot,) = _offset_pair_sweep(st, spec, per_pair_full, half=False)
+            v_full = float(tot) / spec.n_real
+        np.testing.assert_allclose(v_half, v_full, rtol=1e-5)
