@@ -53,16 +53,50 @@ def main():
     coef = np.asarray([1.0, -1.0], np.float32)[types]
     system = make_system(n, types=types, bonds=bonds)
 
+    # Phase 1 — TRUE soft (DPD-conservative) push-off on the packed
+    # engine (pair_kind="soft" runs the XLA roll path; scales to 1M):
+    from metadyn_tpu.ops.packed import unpack_positions
+    # generous capacity: the random-walk melt starts with overlapping
+    # chain clusters (local density spikes before the push-off spreads
+    # them); the soft phase is short so the extra slots are cheap
+    soft_spec = PackedSpec.create(L, n, r_cut=1.0, skin=2.0,
+                                  pair_kind="soft",
+                                  fene_k=30.0, fene_r0=1.5)
+    soft_engine = PackedEngine(soft_spec, rebuild_every=10)
+    st, ovf = soft_engine.pack_state(
+        pos, Box.cubic(L), jnp.asarray(types),
+        eps_i=jnp.full(n, 100.0), sigma_i=jnp.ones(n),   # A = 100
+        extra_attrs=bond_partner_attrs(bonds, n))
+    assert not bool(ovf)
+    st, aux = soft_engine.init(st)
+    soft_step = make_packed_langevin_step(
+        lambda s: soft_engine.force_into(s, None), dt=0.002, kT=kT, gamma=2.0)
+
+    @jax.jit
+    def pushoff(st, aux, key):
+        def block(c, b):
+            s2, a2 = soft_engine.rebuild(*c)
+            def body(s, i):
+                return soft_step(s, jax.random.fold_in(key, b * 10 + i)), None
+            s2, _ = jax.lax.scan(body, s2, jnp.arange(10))
+            return (s2, a2), None
+        return jax.lax.scan(block, (st, aux), jnp.arange(100))[0]
+
+    st, aux = pushoff(st, aux, jax.random.PRNGKey(99))
+    assert not bool(aux.overflow), "overflow during push-off"
+    relaxed = np.asarray(unpack_positions(st, soft_spec))
+    vel0 = np.asarray(st.v[:, st.slot_of].T)
+    print("push-off done", flush=True)
+
+    # Phase 2 — production WCA+FENE engine
     spec = PackedSpec.create(L, n, r_cut=2 ** (1 / 6), skin=0.5, cap=40,
-                             fene_k=30.0, fene_r0=1.5)
+                             fene_k=30.0, fene_r0=1.5, uniform_sigma=1.0)
     engine = PackedEngine(spec)
     cv = PackedMesh.create((48, 48, 48), L, n_real=n,
                            k0=2 * np.pi * 4 / L, width=0.3, name="dsa")
     st, ovf = engine.pack_state(
-        pos, Box.cubic(L), jnp.asarray(types),
-        # soft-start trick: begin with tiny ε and let FENE dominate, then
-        # the production spec uses ε=1 after the melt relaxes
-        eps_i=jnp.full(n, 0.05), sigma_i=jnp.ones(n),
+        relaxed, Box.cubic(L), jnp.asarray(types),
+        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=vel0,
         extra_attrs={**bond_partner_attrs(bonds, n), cv.attr_name: coef})
     print("pack overflow:", bool(ovf), flush=True)
 

@@ -48,6 +48,10 @@ class PackedEngine:
         self.rebuild_every = rebuild_every
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
+        if spec.pair_kind != "lj":
+            # soft pair runs on the XLA roll path (push-off phases are
+            # short; the Pallas kernels are LJ+FENE-specialized)
+            use_pallas = False
         if use_pallas:
             # Newton-halved kernel; inner MD steps skip the energy/virial
             # accumulation (refreshed at stride boundaries)

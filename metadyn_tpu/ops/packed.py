@@ -55,6 +55,10 @@ class PackedSpec:
     # ~30% of the force cost (measured v5e), and this removes 1/3 of it.
     # All baseline configs are single-σ (SURVEY.md §6).
     uniform_sigma: float = struct.field(pytree_node=False, default=None)
+    # "lj" (default) or "soft" (DPD-conservative push-off; A = ε_i·ε_j
+    # via the se attrs).  Soft runs on the XLA roll path only (push-off
+    # phases are short; PackedEngine selects it automatically).
+    pair_kind: str = struct.field(pytree_node=False, default="lj")
     # FENE bead-spring bonds (None = no bonds).  Bonded pairs are matched
     # in-kernel via per-slot partner pids ('bp0'/'bp1' attrs) and get the
     # FENE+WCA interaction INSTEAD of the pair potential — HOOMD's default
@@ -84,7 +88,8 @@ class PackedSpec:
                cap: Optional[int] = None, shift_energy: bool = True,
                fene_k: Optional[float] = None,
                fene_r0: Optional[float] = None,
-               uniform_sigma: Optional[float] = None) -> "PackedSpec":
+               uniform_sigma: Optional[float] = None,
+               pair_kind: str = "lj") -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
             L = np.repeat(L, 3)
@@ -100,7 +105,7 @@ class PackedSpec:
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
                    fene_k=fene_k, fene_r0=fene_r0,
-                   uniform_sigma=uniform_sigma)
+                   uniform_sigma=uniform_sigma, pair_kind=pair_kind)
 
 
 @struct.dataclass
@@ -493,14 +498,22 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
         sig = hs_i + hs_j
         inside = (r2 < rc2) & (r2 > 1e-12)
         r2s = jnp.where(inside, r2, 1.0)
-        s2 = sig * sig / r2s
-        s6 = s2 * s2 * s2
-        e = 4.0 * eps * (s6 * s6 - s6)
-        if spec.shift_energy:
-            sc2 = sig * sig / rc2
-            sc6 = sc2 * sc2 * sc2
-            e = e - 4.0 * eps * (sc6 * sc6 - sc6)
-        coef = 4.0 * eps * (12.0 * s6 * s6 - 6.0 * s6) / r2s
+        if spec.pair_kind == "soft":
+            # DPD-conservative: u = (A·rc/2)(1−r/rc)², F = A(1−r/rc) r̂
+            rc = jnp.float32(spec.r_cut)
+            r_ = jnp.sqrt(r2s)
+            x = 1.0 - r_ / rc
+            e = 0.5 * eps * rc * x * x
+            coef = eps * x / r_
+        else:
+            s2 = sig * sig / r2s
+            s6 = s2 * s2 * s2
+            e = 4.0 * eps * (s6 * s6 - s6)
+            if spec.shift_energy:
+                sc2 = sig * sig / rc2
+                sc6 = sc2 * sc2 * sc2
+                e = e - 4.0 * eps * (sc6 * sc6 - sc6)
+            coef = 4.0 * eps * (12.0 * s6 * s6 - 6.0 * s6) / r2s
         e = jnp.where(inside, e, 0.0)
         coef = jnp.where(inside, coef, 0.0)
         if spec.has_bonds:

@@ -34,6 +34,8 @@ class PairParams:
     sigma: jax.Array
     r_cut: jax.Array
     shift_const: jax.Array  # energy shift at r_cut (precomputed; 0 disables)
+    # xplor smoothing onset radius (HOOMD's mode="xplor"); None disables
+    r_on: jax.Array = None
 
 
 def lj_tables(
@@ -57,6 +59,23 @@ def lj_tables(
     return PairParams(epsilon=eps, sigma=sig, r_cut=rc, shift_const=shift_c)
 
 
+def xplor_tables(
+    n_types: int,
+    epsilon=1.0,
+    sigma=1.0,
+    r_cut=2.5,
+    r_on=2.0,
+) -> PairParams:
+    """LJ with XPLOR smoothing (HOOMD ``mode="xplor"``): the pair energy
+    is multiplied by S(r) ramping smoothly 1 → 0 over [r_on, r_cut]
+    (C¹ continuous — no force jump at the cutoff; no shift needed)."""
+    T = n_types
+    p = lj_tables(n_types, epsilon=epsilon, sigma=sigma, r_cut=r_cut,
+                  shift=False)
+    return p.replace(
+        r_on=jnp.broadcast_to(jnp.asarray(r_on, jnp.float32), (T, T)))
+
+
 def wca_tables(n_types: int, epsilon=1.0, sigma=1.0) -> PairParams:
     """WCA = LJ truncated & shifted at the minimum 2^(1/6) σ."""
     rc = (2.0 ** (1.0 / 6.0)) * jnp.broadcast_to(
@@ -78,6 +97,21 @@ def lj_kernel(r2: jax.Array, ti: jax.Array, tj: jax.Array, p: PairParams):
     e = 4.0 * eps * (inv_r6 * inv_r6 - inv_r6) - p.shift_const[ti, tj]
     # du/dr2 = -(4ε/r2)(12 (σ/r)^12 - 6 (σ/r)^6)/2 ⇒ coef = -2 du/dr2
     coef = 4.0 * eps * (12.0 * inv_r6 * inv_r6 - 6.0 * inv_r6) / r2s
+    if p.r_on is not None:
+        # XPLOR smoothing: u_s = S(r)·u with
+        # S = (rc²−r²)²(rc²+2r²−3r_on²)/(rc²−r_on²)³ on [r_on, rc], 1 below;
+        # dS/dr² = −6(rc²−r²)(r²−r_on²)/(rc²−r_on²)³
+        ron2 = p.r_on[ti, tj] ** 2
+        denom = (rc2 - ron2) ** 3
+        in_ramp = (r2s > ron2)
+        S = jnp.where(
+            in_ramp,
+            (rc2 - r2s) ** 2 * (rc2 + 2.0 * r2s - 3.0 * ron2) / denom,
+            1.0)
+        dSdr2 = jnp.where(
+            in_ramp, -6.0 * (rc2 - r2s) * (r2s - ron2) / denom, 0.0)
+        coef = S * coef - 2.0 * e * dSdr2
+        e = S * e
     return jnp.where(inside, e, 0.0), jnp.where(inside, coef, 0.0)
 
 

@@ -33,6 +33,7 @@ from .bias.metad import (
     BiasState, HillSpec, WallSpec, bias_value_and_grad, deposit, free_energy,
 )
 from .io.hill_log import HillLog
+from .utils.profiling import phase
 
 
 @struct.dataclass
@@ -168,7 +169,8 @@ def make_stride_chunk(
 
         def block(c, b):
             state, aux = c
-            state, aux = engine.rebuild(state, aux)
+            with phase("nlist_rebuild"):
+                state, aux = engine.rebuild(state, aux)
             force_fn = lambda st: biased_force(st, aux, bias)
             step_fn = (integrator_factory(force_fn, bias) if want_bias
                        else integrator_factory(force_fn))
@@ -177,15 +179,19 @@ def make_stride_chunk(
                 k = jax.random.fold_in(carry.key, carry.step + b * r + i)
                 return step_fn(st, k), None
 
-            state, _ = jax.lax.scan(body, state, jnp.arange(r))
+            with phase("md_steps"):
+                state, _ = jax.lax.scan(body, state, jnp.arange(r))
             return (state, aux), None
 
         (state, aux), _ = jax.lax.scan(
             block, (carry.state, carry.aux), jnp.arange(n_blocks))
-        state = engine.refresh_energy(state, aux)
+        with phase("energy_refresh"):
+            state = engine.refresh_energy(state, aux)
         new_step = carry.step + hills.stride
-        s = cv_stack(cvs, state, system)
-        new_bias, rec = deposit(hills, bias, s, new_step)
+        with phase("cv_eval"):
+            s = cv_stack(cvs, state, system)
+        with phase("hill_deposit"):
+            new_bias, rec = deposit(hills, bias, s, new_step)
         V, _ = bias_value_and_grad(new_bias, s)
         if isinstance(new_bias, BiasState):
             # CV outside the registered grid range → hills silently clamp;

@@ -166,3 +166,31 @@ def test_polymer_melt_builder():
     assert pos.shape == (40, 3) and bonds.shape == (36, 2)
     d = np.linalg.norm(pos[bonds[:, 0]] - pos[bonds[:, 1]], axis=1)
     np.testing.assert_allclose(d, 0.97, atol=1e-5)
+
+
+def test_xplor_smoothing_mode():
+    """XPLOR LJ: equals plain LJ below r_on, C1-smooth to zero at r_cut,
+    coef == -2 du/dr2 by finite difference across the ramp (the
+    reference's pair mode="xplor", SURVEY.md §2b pair row)."""
+    from metadyn_tpu.ops.pairs import xplor_tables, lj_tables, lj_kernel
+    px = xplor_tables(1, r_cut=2.5, r_on=2.0)
+    pl = lj_tables(1, r_cut=2.5, shift=False)
+    t = jnp.zeros((), jnp.int32)
+    # below r_on: identical
+    for r in (1.0, 1.5, 1.99):
+        ex, cx = lj_kernel(jnp.asarray(r * r), t, t, px)
+        el, cl = lj_kernel(jnp.asarray(r * r), t, t, pl)
+        np.testing.assert_allclose(float(ex), float(el), rtol=1e-6)
+        np.testing.assert_allclose(float(cx), float(cl), rtol=1e-6)
+    # at the cutoff: energy AND force go to zero (C1)
+    e_rc, c_rc = lj_kernel(jnp.asarray(2.4999**2), t, t, px)
+    assert abs(float(e_rc)) < 1e-4 and abs(float(c_rc)) < 1e-3
+    # FD check of coef = -2 du/dr2 across the ramp
+    for r2 in (4.2, 5.0, 6.0):
+        h = 1e-3
+        ep, _ = lj_kernel(jnp.asarray(r2 + h), t, t, px)
+        em, _ = lj_kernel(jnp.asarray(r2 - h), t, t, px)
+        _, c = lj_kernel(jnp.asarray(r2), t, t, px)
+        np.testing.assert_allclose(float(c),
+                                   -2.0 * (float(ep) - float(em)) / (2 * h),
+                                   rtol=1e-2)

@@ -162,3 +162,21 @@ def test_flux_checkpoint_bitwise_resume(tmp_path):
     s2.run(400)
     np.testing.assert_array_equal(V_ref, np.asarray(s2.bias.grid.V))
     np.testing.assert_array_equal(h_ref, np.asarray(s2.carry.flux.hist))
+
+
+def test_profiling_helpers(tmp_path):
+    """StepTimer counters + named phases + trace capture (SURVEY.md §5
+    tracing/profiling aux subsystem)."""
+    from metadyn_tpu.utils.profiling import StepTimer, phase, trace
+    s, system = _sampler()
+    timer = StepTimer(n_particles=system.n)
+    with trace(str(tmp_path / "tb")):
+        s.run(250)
+    rate = timer.lap(250)
+    rep = timer.report()
+    assert rep["steps"] == 250 and rate > 0
+    assert rep["particle_steps_per_sec"] > 0
+    import os
+    assert any(os.scandir(tmp_path / "tb"))  # trace files written
+    with phase("noop"):
+        pass

@@ -335,3 +335,31 @@ def test_packed_order_half_sweep_matches_full():
             (tot,) = _offset_pair_sweep(st, spec, per_pair_full, half=False)
             v_full = float(tot) / spec.n_real
         np.testing.assert_allclose(v_half, v_full, rtol=1e-5)
+
+
+def test_packed_soft_pair_matches_all_pairs():
+    """pair_kind='soft' on the packed engine == the all-pairs soft oracle
+    (the true DPD-conservative push-off, replacing the small-epsilon LJ
+    trick for melt preparation)."""
+    from metadyn_tpu.ops.pairs import soft_tables, soft_kernel, \
+        all_pairs_force
+    rng = np.random.default_rng(12)
+    n, L = 600, 12.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    box = Box.cubic(L)
+    A = 25.0
+    spec = PackedSpec.create(L, n, r_cut=1.0, skin=2.0, cap=24,
+                             pair_kind="soft")
+    # se = sqrt(A) per particle so A_ij = se_i*se_j = A
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   eps_i=jnp.full(n, A), sigma_i=jnp.ones(n))
+    assert not bool(ovf)
+    st = packed_lj_force(st, spec)
+    ref = all_pairs_force(jnp.asarray(pos), jnp.zeros(n, jnp.int32), box,
+                          soft_kernel, soft_tables(1, A=A, r_cut=1.0),
+                          row_block=n)
+    np.testing.assert_allclose(float(st.potential_energy),
+                               float(ref.energy), rtol=1e-5)
+    f_packed = np.asarray(st.f[:, st.slot_of].T)
+    np.testing.assert_allclose(f_packed, np.asarray(ref.force),
+                               rtol=1e-4, atol=1e-4)
