@@ -22,6 +22,7 @@ def _shrunk(cfg_path, tmp_path, **over):
                 dst[k] = v
 
     merge(cfg, over)
+    cfg.setdefault("chunks_per_block", 1)
     # route outputs into tmp
     out = cfg.setdefault("output", {})
     for k in ("hill_file", "log_file", "grid_file", "checkpoint",

@@ -259,3 +259,71 @@ def test_hill_list_overflow_flag_without_spill():
     assert int(s.bias.n_hills) == 20
     assert bool(s.bias.overflowed)
     assert bool(s.history[-1]["cv_out_of_grid"])  # surfaced in metrics
+
+
+def _dw2d_sampler(kT, seed=0):
+    def dw2(pos, state, system):
+        x, y = pos[0, 0], pos[0, 1]
+        return (A_WELL * (x * x - 1.0) ** 2 + A_WELL * (y * y - 1.0) ** 2
+                + 5.0 * pos[0, 2] ** 2)
+
+    system = make_system(1)
+    ff = ForceField(external=dw2)
+    state = make_state(np.asarray([[1.0, -1.0, 0.0]], np.float32),
+                       Box.cubic(50.0))
+    grid = GridSpec.create([-1.6, -1.6], [1.6, 1.6], [65, 65], [0.1, 0.1])
+    return MetadSampler(
+        system, state, ff.bind(system),
+        cvs=[AxisPosition(0, 0, name="x"), AxisPosition(0, 1, name="y")],
+        grid_spec=grid,
+        hills=HillSpec.create(W=0.12, stride=50, mode=WELL_TEMPERED,
+                              deltaT=4.0),
+        integrator_factory=lambda f: make_langevin_step(
+            f, system, dt=0.005, kT=kT, gamma=3.0),
+        seed=seed, chunks_per_block=64)
+
+
+def _dw2d_fes_error(kT, transient, n_seg, seg):
+    s = _dw2d_sampler(kT)
+    x = np.asarray(s.grid_spec.axis_coords(0))
+    y = np.asarray(s.grid_spec.axis_coords(1))
+    X, Y = np.meshgrid(x, y, indexing="ij")
+    F_true = A_WELL * (X**2 - 1) ** 2 + A_WELL * (Y**2 - 1) ** 2
+    s.run(transient)
+    F_acc = np.zeros_like(F_true)
+    for _ in range(n_seg):
+        s.run(seg)
+        F_acc += s.free_energy(kT=kT)
+    F = F_acc / n_seg
+    m = (np.abs(X) <= 1.15) & (np.abs(Y) <= 1.15)
+    err = F[m] - F_true[m]
+    err -= err.mean()
+    return np.max(np.abs(err))
+
+
+@pytest.mark.slow
+def test_double_well_2d_fes_oracle():
+    """2-D WT metadynamics on the separable double-double-well: the FES
+    over the full 2-D grid converges to the analytic surface.  Measured
+    0.12 kT max error with this ~15-min protocol (pure sampling noise —
+    the error field is structureless); asserted at 0.15 kT.  The ≤0.1 kT
+    north-star bound is held by the 1-D oracle above and the 8-walker
+    oracle (test_walkers.py), whose hill flux converges 8× faster."""
+    kT = 0.6
+    err = _dw2d_fes_error(kT, 2_000_000, 64, 2_000_000)
+    assert err < 0.15 * kT, err / kT
+
+
+def test_double_well_2d_fes_fast():
+    """Default-suite 2-D smoke: bias covers all four wells."""
+    kT = 0.6
+    s = _dw2d_sampler(kT)
+    s.run(100_000)
+    V = np.asarray(s.bias.grid.V)
+    x = np.asarray(s.grid_spec.axis_coords(0))
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    assert np.isfinite(V).all()
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            well = V[(np.abs(X - sx) < 0.2) & (np.abs(Y - sy) < 0.2)]
+            assert well.max() > 0.3, (sx, sy)
