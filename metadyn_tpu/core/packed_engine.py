@@ -43,7 +43,13 @@ class PackedEngine:
     64k: vmax creep 5 → 40 → explosion within 500 steps)."""
 
     def __init__(self, spec: PackedSpec, rebuild_every: int = 1,
-                 use_pallas: Optional[bool] = None, mass: float = 1.0):
+                 use_pallas: Optional[bool] = None, mass: float = 1.0,
+                 with_energy: bool = False):
+        """``with_energy=True`` makes EVERY force call accumulate
+        energy/virial (default: inner MD steps skip them, refreshed at
+        stride boundaries).  Required when the potential energy itself is
+        a CV — the well-tempered-ensemble mode (EnergyCV / reference
+        ``WellTemperedEnsemble``) reads state.potential_energy per step."""
         self.spec = spec
         self.rebuild_every = rebuild_every
         if use_pallas is None:
@@ -54,9 +60,9 @@ class PackedEngine:
             use_pallas = False
         if use_pallas:
             # Newton-halved kernel; inner MD steps skip the energy/virial
-            # accumulation (refreshed at stride boundaries)
+            # accumulation unless with_energy
             self._force = lambda st, sp: packed_lj_force_pallas2(
-                st, sp, with_energy=False)
+                st, sp, with_energy=with_energy)
             self._force_e = packed_lj_force_pallas2
         else:
             self._force = packed_lj_force

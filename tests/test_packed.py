@@ -363,3 +363,56 @@ def test_packed_soft_pair_matches_all_pairs():
     f_packed = np.asarray(st.f[:, st.slot_of].T)
     np.testing.assert_allclose(f_packed, np.asarray(ref.force),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_packed_wte_energy_cv():
+    """Well-tempered-ensemble mode on the packed hot path: with
+    PackedEngine(with_energy=True) the potential energy is live every
+    step, so an energy CV (reference WellTemperedEnsemble) can bias it."""
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    class PackedEnergyCV:
+        """s = U — reads the live per-step potential energy."""
+        log_name = "cv_U"
+
+        def value(self, state, system):
+            return state.potential_energy
+
+        def accum_bias_force(self, state, system, dVds, f_acc):
+            # dU/dr = -F  =>  bias force = -dVds * dU/dr = +dVds * F
+            return f_acc + dVds * state.f
+
+    a = 1.7
+    pos = fcc_lattice(6, a)
+    n = pos.shape[0]
+    L = 6 * a
+    from metadyn_tpu.core.box import Box as _Box
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40)
+    engine = PackedEngine(spec, rebuild_every=5, with_energy=True)
+    system = make_system(n)
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    st, ovf = engine.pack_state(pos, _Box.cubic(L), jnp.zeros(n, jnp.int32),
+                                eps_i=jnp.ones(n), sigma_i=jnp.ones(n),
+                                vel=vel)
+    assert not bool(ovf)
+    e0 = float(engine.init(st)[0].potential_energy)
+    gs = GridSpec.create([e0 - 800], [e0 + 800], [81], [40.0])
+    s = MetadSampler(
+        system, st, engine, cvs=[PackedEnergyCV()], grid_spec=gs,
+        hills=HillSpec.create(W=10.0, stride=25, mode=WELL_TEMPERED,
+                              deltaT=500.0),
+        integrator_factory=lambda f: make_packed_langevin_step(
+            f, dt=0.004, kT=1.0, gamma=1.0),
+        seed=0, chunks_per_block=2)
+    hist = s.run(200)
+    m = hist[-1]
+    assert np.isfinite(float(m["cv"][0]))
+    assert float(np.asarray(s.bias.grid.V).max()) > 1.0
+    assert not bool(m["nlist_overflow"])
