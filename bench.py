@@ -84,7 +84,8 @@ def main():
     # widens the half-skin rebuild trigger 0.25 -> 0.275, cutting repack
     # frequency ~20% at identical kernel cost
     spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.55, cap=40,
-                             shift_energy=False, uniform_sigma=1.0)
+                             shift_energy=False, uniform_sigma=1.0,
+                             uniform_eps=1.0)
     # 10-step cadence keeps the fastest thermal particles inside half-skin
     engine = PackedEngine(spec, rebuild_every=10)
     system = make_system(n)

@@ -39,6 +39,13 @@ from flax import struct
 
 from ..core.box import Box
 
+# Vacant-slot coordinate sentinel for the uniform-eps lean kernel: far
+# outside any physical box (f32-exact), so vacant slots are culled by a
+# STATIC position threshold (VACANT_THR) in the pair mask instead of a
+# per-slot √ε=0 factor.  Real coordinates never exceed ~1.5·L ≪ THR.
+VACANT_X = 1.0e7
+VACANT_THR = 1.0e6
+
 
 @struct.dataclass
 class PackedSpec:
@@ -55,6 +62,11 @@ class PackedSpec:
     # ~30% of the force cost (measured v5e), and this removes 1/3 of it.
     # All baseline configs are single-σ (SURVEY.md §6).
     uniform_sigma: float = struct.field(pytree_node=False, default=None)
+    # Uniform pair epsilon: with uniform_sigma this removes the se
+    # partner stacks from the Pallas prepass too — vacancy is then
+    # encoded by a STATIC far-away coordinate sentinel (VACANT_X) and a
+    # static position threshold in the pair mask.
+    uniform_eps: float = struct.field(pytree_node=False, default=None)
     # "lj" (default) or "soft" (DPD-conservative push-off; A = ε_i·ε_j
     # via the se attrs).  Soft runs on the XLA roll path only (push-off
     # phases are short; PackedEngine selects it automatically).
@@ -89,6 +101,7 @@ class PackedSpec:
                fene_k: Optional[float] = None,
                fene_r0: Optional[float] = None,
                uniform_sigma: Optional[float] = None,
+               uniform_eps: Optional[float] = None,
                pair_kind: str = "lj") -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
@@ -105,7 +118,8 @@ class PackedSpec:
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
                    fene_k=fene_k, fene_r0=fene_r0,
-                   uniform_sigma=uniform_sigma, pair_kind=pair_kind)
+                   uniform_sigma=uniform_sigma, uniform_eps=uniform_eps,
+                   pair_kind=pair_kind)
 
 
 @struct.dataclass
@@ -242,6 +256,8 @@ def pack(
     pid1 = out[9]
     typ_raw = out[10]
     valid = pid1 > 0
+    if spec.uniform_eps is not None:
+        r = jnp.where(valid[None, :], r, jnp.float32(VACANT_X))
     n_types = int(jnp.max(types)) + 1 if types.shape[0] else 1
     state = PackedState(
         r=r,
@@ -278,6 +294,8 @@ def repack(state: PackedState, spec: PackedSpec) -> tuple[PackedState, jax.Array
     r = jnp.stack(out[0:3])
     pid1 = out[12]
     valid = pid1 > 0
+    if spec.uniform_eps is not None:
+        r = jnp.where(valid[None, :], r, jnp.float32(VACANT_X))
     sentinel_typ = jnp.max(state.typ)
     pid = jnp.where(valid, pid1 - 1, jnp.int32(spec.n_real))
     # vacant slots have pid == n_real (out of bounds) → dropped by the mode
@@ -387,6 +405,8 @@ def repack_incremental(state: PackedState, spec: PackedSpec
     r = jnp.stack(out[0:3])
     pid1 = out[12]
     valid_new = pid1 > 0
+    if spec.uniform_eps is not None:
+        r = jnp.where(valid_new[None, :], r, jnp.float32(VACANT_X))
     slot_of = jnp.zeros(spec.n_real, jnp.int32).at[state.pid].set(
         slot, mode="drop")
     return state.replace(

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import PackedSpec, PackedState, _fene_wca_pair
+from .packed import PackedSpec, PackedState, _fene_wca_pair, VACANT_THR
 
 
 def _half_offsets():
@@ -64,8 +64,12 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
         ])
         stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
     # uniform-sigma systems skip the hs stack: sig is a compile-time const
-    # and se (= √ε, 0 on vacant slots) already carries the vacancy mask
-    extra = [state.attrs["se"]]
+    # and se (= √ε, 0 on vacant slots) carries the vacancy mask — unless
+    # uniform_eps is ALSO set, in which case vacancy is encoded by the
+    # coordinate sentinel (ops/packed.VACANT_X) and se is skipped too
+    extra = []
+    if spec.uniform_eps is None:
+        extra.append(state.attrs["se"])
     if spec.uniform_sigma is None:
         extra.append(state.attrs["hs"])
     if spec.has_bonds:
@@ -80,19 +84,22 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
 
 
 def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
-            with_energy: bool = True, usig: float = None):
+            with_energy: bool = True, usig: float = None,
+            ueps: float = None):
     has_bonds = spec is not None and spec.has_bonds
     refs = list(refs)
-    xi, yi, zi, se = refs[:4]
-    del refs[:4]
+    xi, yi, zi = refs[:3]
+    del refs[:3]
+    se = None if ueps is not None else refs.pop(0)
     hs = None if usig is not None else refs.pop(0)
     if has_bonds:
         bp0, bp1 = refs[0], refs[1]
         del refs[:2]
     else:
         bp0 = bp1 = None
-    xj, yj, zj, sej = refs[:4]
-    del refs[:4]
+    xj, yj, zj = refs[:3]
+    del refs[:3]
+    sej = None if ueps is not None else refs.pop(0)
     hsj = None if usig is not None else refs.pop(0)
     pidj = refs.pop(0) if has_bonds else None
     fx, fy, fz, fjx, fjy, fjz, ew = refs
@@ -112,7 +119,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     x_i = xi[...]
     y_i = yi[...]
     z_i = zi[...]
-    se_i = se[...]
+    se_i = se[...] if se is not None else None
     hs_i = hs[...] if hs is not None else None
     if has_bonds:
         bp0_i = bp0[...]
@@ -129,12 +136,20 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         dy = y_i - yr
         dz = z_i - zr
         r2 = dx * dx + dy * dy + dz * dz
-        eps = se_i * ser
-        # eps > 0 gate: vacant slots (se=0) drift under Langevin noise and
-        # can pass within r²~1e-8 of each other; with a nonzero uniform sig
-        # the s12 power overflows to inf and 0·inf = NaN.  Masking BEFORE
-        # the power chain keeps every excluded pair exactly zero.
-        inside = (r2 < rc2) & (r2 > 1e-12) & (eps > 0.0)
+        if ueps is not None:
+            # vacancy via the static coordinate sentinel: vacant slots sit
+            # at VACANT_X ≫ any physical coordinate, so the position test
+            # culls every vacant pair BEFORE the power chain (no 0·inf)
+            eps = ueps
+            inside = ((r2 < rc2) & (r2 > 1e-12)
+                      & (x_i < VACANT_THR) & (xr < VACANT_THR))
+        else:
+            eps = se_i * ser
+            # eps > 0 gate: vacant slots (se=0) drift under Langevin noise
+            # and can pass within r²~1e-8 of each other; with a nonzero
+            # uniform sig the s12 power overflows to inf and 0·inf = NaN.
+            # Masking BEFORE the power chain keeps excluded pairs zero.
+            inside = (r2 < rc2) & (r2 > 1e-12) & (eps > 0.0)
         inv = jnp.where(inside, 1.0, 0.0) / jnp.where(inside, r2, 1.0)
         if usig is not None:
             sig = usig
@@ -175,14 +190,14 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         xs = xj[0, pl.ds(j0, CH), :]
         ys = yj[0, pl.ds(j0, CH), :]
         zs = zj[0, pl.ds(j0, CH), :]
-        ss = sej[0, pl.ds(j0, CH), :]
+        ss = sej[0, pl.ds(j0, CH), :] if sej is not None else None
         hss = hsj[0, pl.ds(j0, CH), :] if hsj is not None else None
         if pidj is not None:
             ps = pidj[0, pl.ds(j0, CH), :]
         for k in range(CH):
             coef, dx, dy, dz, e, r2 = pair_row(
                 xs[k, :][None, :], ys[k, :][None, :], zs[k, :][None, :],
-                ss[k, :][None, :],
+                ss[k, :][None, :] if ss is not None else None,
                 hss[k, :][None, :] if hss is not None else None,
                 ps[k, :][None, :] if pidj is not None else None)
             tx = coef * dx
@@ -246,16 +261,26 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
 
     stacks = _half_stacks(state, spec)
     # pad the pidj stack with the vacant sentinel n_real (pid+1 = n_real+1
-    # never matches a bond-partner attr) — see packed_pallas.py
+    # never matches a bond-partner attr) — see packed_pallas.py.  In
+    # uniform-eps mode the COORDINATE pads must be the vacancy sentinel
+    # too: zero-padded rows would sit at the origin inside the box.
     fills = [0.0] * len(stacks)
+    if spec.uniform_eps is not None:
+        from .packed import VACANT_X
+        fills[0] = fills[1] = fills[2] = VACANT_X
     if spec.has_bonds:
         fills[-1] = float(spec.n_real)
     stacks = [pad(s, 1, 2, f) for s, f in zip(stacks, fills)]
-    xi = pad(state.r[0].reshape(cap, C), 0, 1)
-    yi = pad(state.r[1].reshape(cap, C), 0, 1)
-    zi = pad(state.r[2].reshape(cap, C), 0, 1)
-    se = pad(state.attrs["se"].reshape(cap, C), 0, 1)
-    const_in = [xi, yi, zi, se]
+    cfill = 0.0
+    if spec.uniform_eps is not None:
+        from .packed import VACANT_X
+        cfill = VACANT_X
+    xi = pad(state.r[0].reshape(cap, C), 0, 1, cfill)
+    yi = pad(state.r[1].reshape(cap, C), 0, 1, cfill)
+    zi = pad(state.r[2].reshape(cap, C), 0, 1, cfill)
+    const_in = [xi, yi, zi]
+    if spec.uniform_eps is None:
+        const_in.append(pad(state.attrs["se"].reshape(cap, C), 0, 1))
     if spec.uniform_sigma is None:
         const_in.append(pad(state.attrs["hs"].reshape(cap, C), 0, 1))
     if spec.has_bonds:
@@ -271,7 +296,8 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     kern = functools.partial(
         _kernel, cap=cap8, rc2=float(spec.r_cut) ** 2,
         shift_energy=spec.shift_energy, spec=spec if spec.has_bonds else None,
-        with_energy=with_energy, usig=spec.uniform_sigma)
+        with_energy=with_energy, usig=spec.uniform_sigma,
+        ueps=spec.uniform_eps)
     fx, fy, fz, fjx, fjy, fjz, ew = pl.pallas_call(
         kern,
         grid=(n_ct, 14),

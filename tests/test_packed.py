@@ -416,3 +416,100 @@ def test_packed_wte_energy_cv():
     assert np.isfinite(float(m["cv"][0]))
     assert float(np.asarray(s.bias.grid.V).max()) > 1.0
     assert not bool(m["nlist_overflow"])
+
+
+def test_packed_pallas2_uniform_eps_sentinel_matches_general():
+    """The fully-lean kernel (uniform eps + sigma: NO se/hs stacks,
+    vacancy via the VACANT_X coordinate sentinel) must match the general
+    kernel on real slots, including after vacant slots drift under noise."""
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    from metadyn_tpu.utils.lattice import fcc_lattice
+    a_lat = 1.7
+    pos = fcc_lattice(6, a_lat)
+    n = pos.shape[0]
+    L = 6 * a_lat
+    rng = np.random.default_rng(3)
+    pos = pos + rng.normal(0, 0.05, pos.shape).astype(np.float32)
+    box = Box.cubic(L)
+    jig = rng.normal(0, 1e-3, (3, 1)).astype(np.float32)  # placeholder
+    orig = pl.pallas_call
+    pp2.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    outs = {}
+    try:
+        for lean in (False, True):
+            spec = PackedSpec.create(
+                L, n, r_cut=2.5, skin=0.4, cap=40,
+                uniform_sigma=1.0 if lean else None,
+                uniform_eps=1.0 if lean else None)
+            st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                           jnp.ones(n), jnp.ones(n))
+            assert not bool(ovf)
+            # drift ALL slots (incl. vacant/sentinel) as Langevin noise does
+            noise = np.random.default_rng(7).normal(
+                0, 1e-3, st.r.shape).astype(np.float32)
+            st = st.replace(r=st.r + jnp.asarray(noise))
+            outs[lean] = (pp2.packed_lj_force_pallas2(st, spec), st)
+    finally:
+        pp2.pl.pallas_call = orig
+    (a, sta), (b, stb) = outs[False], outs[True]
+    fa = np.asarray(a.f[:, sta.slot_of])   # real-slot forces
+    fb = np.asarray(b.f[:, stb.slot_of])
+    assert np.isfinite(np.asarray(b.f)).all()
+    np.testing.assert_allclose(fa, fb, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(a.potential_energy),
+                               float(b.potential_energy), rtol=1e-5)
+    np.testing.assert_allclose(float(a.virial), float(b.virial), rtol=1e-5)
+
+
+def test_packed_uniform_eps_md_block():
+    """Short MD with the lean kernel under repack: trajectories match the
+    general-kernel engine bitwise-closely (sentinel reapplied at repack)."""
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.utils.lattice import fcc_lattice
+    a_lat = 1.7
+    pos = fcc_lattice(5, a_lat)
+    n = pos.shape[0]
+    L = 5 * a_lat
+    box = Box.cubic(L)
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    orig = pl.pallas_call
+    pp2.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    res = {}
+    try:
+        for lean in (False, True):
+            spec = PackedSpec.create(
+                L, n, r_cut=2.0, skin=0.4, cap=32,
+                uniform_sigma=1.0 if lean else None,
+                uniform_eps=1.0 if lean else None)
+            engine = PackedEngine(spec, rebuild_every=5, use_pallas=True)
+            st, ovf = engine.pack_state(pos, box, jnp.zeros(n, jnp.int32),
+                                        eps_i=jnp.ones(n),
+                                        sigma_i=jnp.ones(n), vel=vel)
+            assert not bool(ovf)
+            st, aux = engine.init(st)
+            step = make_packed_langevin_step(
+                lambda s: engine.force_into(s, None), dt=0.004, kT=1.0,
+                gamma=1.0)
+
+            @jax.jit
+            def run(st, aux):
+                def blk(c, b):
+                    s2, a2 = engine.rebuild(*c)
+                    def body(s, i):
+                        return step(s, jax.random.fold_in(
+                            jax.random.PRNGKey(5), b * 5 + i)), None
+                    s2, _ = jax.lax.scan(body, s2, jnp.arange(5))
+                    return (s2, a2), None
+                return jax.lax.scan(blk, (st, aux), jnp.arange(6))[0]
+
+            st, aux = run(st, aux)
+            assert not bool(aux.overflow)
+            res[lean] = np.asarray(st.r[:, st.slot_of])
+    finally:
+        pp2.pl.pallas_call = orig
+    np.testing.assert_allclose(res[False], res[True], rtol=1e-5, atol=1e-5)
