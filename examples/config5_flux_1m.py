@@ -42,7 +42,8 @@ def main():
     L = float((n / rho) ** (1 / 3))
     kT = 1.0
     print(f"N={n} L={L:.1f}", flush=True)
-    pos, bonds = polymer_melt(args.chains, args.chain_len, L, seed=0)
+    pos, bonds = polymer_melt(args.chains, args.chain_len, L, seed=0,
+                              grid_starts=True, persistence=0.9)
 
     # soft push-off (particle-order path is O(N²)-blocked: fine to ~64k;
     # at 1M use a packed soft engine or pre-relaxed coordinates — here we
@@ -56,19 +57,31 @@ def main():
     # Phase 1 — TRUE soft (DPD-conservative) push-off on the packed
     # engine (pair_kind="soft" runs the XLA roll path; scales to 1M):
     from metadyn_tpu.ops.packed import unpack_positions
-    # generous capacity: the random-walk melt starts with overlapping
-    # chain clusters (local density spikes before the push-off spreads
-    # them); the soft phase is short so the extra slots are cheap
-    soft_spec = PackedSpec.create(L, n, r_cut=1.0, skin=2.0,
+    # capacity from the MEASURED initial occupancy: the random-walk melt
+    # clumps whole chains into single cells, far beyond the equilibrium
+    # headroom heuristic; the soft phase is short so slots are cheap
+    def max_occupancy(p, box_len, width_count):
+        cell = (np.floor((p / box_len + 0.5) * width_count).astype(np.int64)
+                % width_count)
+        cid = (cell[:, 0] * width_count + cell[:, 1]) * width_count + cell[:, 2]
+        return int(np.bincount(cid).max())
+
+    # small cells (r_list = 2.0) keep the worst-case capacity low: the
+    # random melt's chain blobs inflate per-cell occupancy ~4x at 3.0
+    cpd_soft = int(np.floor(L / 2.0))
+    occ0 = max_occupancy(pos, L, cpd_soft)
+    soft_spec = PackedSpec.create(L, n, r_cut=1.0, skin=1.0,
+                                  cap=int(occ0 * 1.4) + 6,
                                   pair_kind="soft",
                                   fene_k=30.0, fene_r0=1.5)
-    soft_engine = PackedEngine(soft_spec, rebuild_every=10)
+    soft_engine = PackedEngine(soft_spec, rebuild_every=5)
     st, ovf = soft_engine.pack_state(
         pos, Box.cubic(L), jnp.asarray(types),
         eps_i=jnp.full(n, 100.0), sigma_i=jnp.ones(n),   # A = 100
         extra_attrs=bond_partner_attrs(bonds, n))
     assert not bool(ovf)
-    st, aux = soft_engine.init(st)
+    st, aux = jax.jit(soft_engine.init)(st)   # jit: eager init at 1M
+                                              # materializes huge temps
     soft_step = make_packed_langevin_step(
         lambda s: soft_engine.force_into(s, None), dt=0.002, kT=kT, gamma=2.0)
 
@@ -77,10 +90,10 @@ def main():
         def block(c, b):
             s2, a2 = soft_engine.rebuild(*c)
             def body(s, i):
-                return soft_step(s, jax.random.fold_in(key, b * 10 + i)), None
-            s2, _ = jax.lax.scan(body, s2, jnp.arange(10))
+                return soft_step(s, jax.random.fold_in(key, b * 5 + i)), None
+            s2, _ = jax.lax.scan(body, s2, jnp.arange(5))
             return (s2, a2), None
-        return jax.lax.scan(block, (st, aux), jnp.arange(100))[0]
+        return jax.lax.scan(block, (st, aux), jnp.arange(200))[0]
 
     st, aux = pushoff(st, aux, jax.random.PRNGKey(99))
     assert not bool(aux.overflow), "overflow during push-off"
@@ -89,7 +102,7 @@ def main():
     print("push-off done", flush=True)
 
     # Phase 2 — production WCA+FENE engine
-    spec = PackedSpec.create(L, n, r_cut=2 ** (1 / 6), skin=0.5, cap=40,
+    spec = PackedSpec.create(L, n, r_cut=2 ** (1 / 6), skin=0.5, cap=48,
                              fene_k=30.0, fene_r0=1.5, uniform_sigma=1.0)
     engine = PackedEngine(spec)
     cv = PackedMesh.create((48, 48, 48), L, n_real=n,
@@ -107,12 +120,15 @@ def main():
         grid_spec=GridSpec.create([0.0], [hi], [101], [hi / 40]),
         integrator_factory=lambda f: make_packed_langevin_step(
             f, dt=0.002, kT=kT, gamma=2.0),
-        kT=kT, stride=100, update_period=10, seed=0)
+        # short update periods keep the compiled program small (the
+        # remote-compile service struggles with very long fused periods
+        # at the 1M scale); more periods, same physics
+        kT=kT, stride=50, update_period=4, seed=0)
 
     t0 = time.time()
     done = 0
     while done < args.steps:
-        todo = 100 * 10
+        todo = 50 * 4
         out = sampler.run(todo)
         done += todo
         m = out[-1]

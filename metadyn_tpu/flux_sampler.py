@@ -104,12 +104,12 @@ class FluxTemperedSampler:
             metrics = {"cv": s, **engine.metrics(state, aux)}
             return new, metrics
 
-        def run_period(carry, bias):
-            def body(c, _):
-                return chunk(c, bias, None)
-            return jax.lax.scan(body, carry, None, length=update_period)
-
-        self._run_period = jax.jit(run_period)
+        # one jitted stride chunk; the host loops chunks within an update
+        # period.  (A period-long fused scan compiles a program whose size
+        # scales with update_period — observed to kill the remote compile
+        # service at the 1M scale; per-chunk dispatch is physics-identical
+        # and keeps the compiled program O(stride).)
+        self._run_chunk = jax.jit(lambda c, b: chunk(c, b, None))
         self.history: list[dict] = []
         self.n_updates = 0
         self.gain0 = gain0
@@ -128,8 +128,12 @@ class FluxTemperedSampler:
             f"n_steps must be a multiple of stride*update_period={period_steps}")
         out = []
         for _ in range(n_steps // period_steps):
-            self.carry, metrics = self._run_period(self.carry, self.bias)
-            m = jax.device_get(metrics)
+            period_metrics = []
+            for _c in range(self.update_period):
+                self.carry, metrics = self._run_chunk(self.carry, self.bias)
+                period_metrics.append(metrics)
+            m = jax.device_get(jax.tree.map(
+                lambda *xs: jnp.stack(xs), *period_metrics))
             m["round_trips"] = float(round_trips(self.carry.flux))
             out.append(m)
             gain = self.gain0 / (1.0 + self.n_updates / self.gain_halflife)

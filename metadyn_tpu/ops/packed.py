@@ -72,11 +72,14 @@ class PackedSpec:
     # phases are short; PackedEngine selects it automatically).
     pair_kind: str = struct.field(pytree_node=False, default="lj")
     # FENE bead-spring bonds (None = no bonds).  Bonded pairs are matched
-    # in-kernel via per-slot partner pids ('bp0'/'bp1' attrs) and get the
-    # FENE+WCA interaction INSTEAD of the pair potential — HOOMD's default
-    # bond exclusion, with the Kremer–Grest convention.
+    # in-kernel via per-slot partner pids ('bp0'..'bp{bond_slots-1}'
+    # attrs) and get the FENE+WCA interaction INSTEAD of the pair
+    # potential — HOOMD's default bond exclusion, Kremer–Grest convention.
+    # bond_slots = max bonds per particle (2 = linear chains; raise it for
+    # branched/star topologies).
     fene_k: float = struct.field(pytree_node=False, default=None)
     fene_r0: float = struct.field(pytree_node=False, default=None)
+    bond_slots: int = struct.field(pytree_node=False, default=2)
 
     @property
     def n_cells(self) -> int:
@@ -102,7 +105,8 @@ class PackedSpec:
                fene_r0: Optional[float] = None,
                uniform_sigma: Optional[float] = None,
                uniform_eps: Optional[float] = None,
-               pair_kind: str = "lj") -> "PackedSpec":
+               pair_kind: str = "lj",
+               bond_slots: int = 2) -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
             L = np.repeat(L, 3)
@@ -119,7 +123,7 @@ class PackedSpec:
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
                    fene_k=fene_k, fene_r0=fene_r0,
                    uniform_sigma=uniform_sigma, uniform_eps=uniform_eps,
-                   pair_kind=pair_kind)
+                   pair_kind=pair_kind, bond_slots=bond_slots)
 
 
 @struct.dataclass
@@ -469,7 +473,8 @@ def _fene_wca_pair(r2s, eps, sig, spec):
 
 
 def packed_lj_force(state: PackedState, spec: PackedSpec,
-                    cell_mask: Optional[jax.Array] = None) -> PackedState:
+                    cell_mask: Optional[jax.Array] = None,
+                    j_block: Optional[int] = None) -> PackedState:
     """LJ pair forces via the 27-offset roll method (see module docstring).
 
     Per-slot Lorentz–Berthelot parameters: ε_ij = se_i·se_j (se=√ε),
@@ -489,6 +494,16 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
     rc2 = jnp.float32(spec.r_cut**2)
     L = state.box.L
 
+    # j-axis chunking: the full (cap, cap, C) pair block OOMs at ~1M
+    # particles with generous caps; process j in slabs of j_block rows
+    # via fori_loop (identical math, bounded peak memory).  Auto-enable
+    # past 2^27 pair elements.
+    if j_block is None and cap * cap * C > 2**26:
+        j_block = max(8, (2**26 // (cap * C)) // 8 * 8)
+    jb = cap if j_block is None or j_block >= cap else j_block
+    n_chunks = -(-cap // jb)
+    cap_p = n_chunks * jb
+
     fx = [jnp.zeros((cap, C), jnp.float32) for _ in range(3)]
     e_tot = jnp.float32(0.0)
     w_tot = jnp.float32(0.0)
@@ -496,24 +511,19 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
     se_i = se4.reshape(cap, C)[None, :, :]
     hs_i = hs4.reshape(cap, C)[None, :, :]
     if spec.has_bonds:
-        view = lambda a: a.reshape(cap, cx, cy, cz)
         pid4 = view(state.pid.astype(jnp.float32).reshape(cap, C))
-        bp0_i = state.attrs["bp0"].reshape(cap, C)[None, :, :]
-        bp1_i = state.attrs["bp1"].reshape(cap, C)[None, :, :]
+        bp_i = [state.attrs[f"bp{k}"].reshape(cap, C)[None, :, :]
+                for k in range(spec.bond_slots)]
 
-    for (o, ushift) in _roll_offsets(spec):
-        roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
-        shift = jnp.asarray(ushift)                                   # (3, C)
-        # partner slots j: (capj, 1, C)
+    def pair_block(xj, se_j, hs_j, pid_j):
+        """(B, 1-broadcast) partner rows vs all i: returns (coef, dx, r2).
+        xj/se_j/hs_j/pid_j are (B, 1, C)."""
         dx = []
-        r2 = jnp.zeros((cap, cap, C), jnp.float32)
+        r2 = jnp.zeros((xj[0].shape[0], cap, C), jnp.float32)
         for d in range(3):
-            xj = roll(x4[d]).reshape(cap, C) + shift[d][None, :] * L[d]
-            c = xi[d] - xj[:, None, :]
+            c = xi[d] - xj[d]
             dx.append(c)
             r2 = r2 + c * c
-        se_j = roll(se4).reshape(cap, C)[:, None, :]
-        hs_j = roll(hs4).reshape(cap, C)[:, None, :]
         eps = se_i * se_j
         sig = hs_i + hs_j
         inside = (r2 < rc2) & (r2 > 1e-12)
@@ -542,21 +552,69 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
             # on the pair r_cut: a bond stretched past r_cut must keep its
             # full FENE+WCA interaction (the pair cutoff only gates the
             # plain LJ term), else the chain silently scissions.
-            pid_j = roll(pid4).reshape(cap, C)[:, None, :] + 1.0
-            bonded = ((pid_j == bp0_i) | (pid_j == bp1_i)) & (r2 > 1e-12)
+            match = bp_i[0] == pid_j
+            for bpk in bp_i[1:]:
+                match = match | (bpk == pid_j)
+            bonded = match & (r2 > 1e-12)
             r2b = jnp.where(bonded, r2, 1.0)
             e_b, coef_b = _fene_wca_pair(r2b, eps, sig, spec)
             e = jnp.where(bonded, e_b, e)
             coef = jnp.where(bonded, coef_b, coef)
-        for d in range(3):
-            fx[d] = fx[d] + jnp.sum(coef * dx[d], axis=0)
         if cell_mask is not None:
             e = e * cell_mask[None, None, :]
             w_pair = coef * r2 * cell_mask[None, None, :]
         else:
             w_pair = coef * r2  # coef is zero outside active pairs
-        e_tot = e_tot + jnp.sum(e)
-        w_tot = w_tot + jnp.sum(w_pair)
+        fc = [jnp.sum(coef * dx[d], axis=0) for d in range(3)]
+        return fc, jnp.sum(e), jnp.sum(w_pair)
+
+    for (o, ushift) in _roll_offsets(spec):
+        roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
+        shift = jnp.asarray(ushift)                                   # (3, C)
+        rolled_x = [roll(x4[d]).reshape(cap, C) + shift[d][None, :] * L[d]
+                    for d in range(3)]
+        rolled_se = roll(se4).reshape(cap, C)
+        rolled_hs = roll(hs4).reshape(cap, C)
+        rolled_pid = (roll(pid4).reshape(cap, C) + 1.0
+                      if spec.has_bonds else None)
+        if jb >= cap:
+            fc, e, w = pair_block(
+                [rx[:, None, :] for rx in rolled_x],
+                rolled_se[:, None, :], rolled_hs[:, None, :],
+                rolled_pid[:, None, :] if rolled_pid is not None else None)
+            for d in range(3):
+                fx[d] = fx[d] + fc[d]
+            e_tot = e_tot + e
+            w_tot = w_tot + w
+            continue
+        if cap_p != cap:
+            # pad rows: se=0 keeps pair terms zero; pid pads to the vacant
+            # sentinel so bond matching can't fire
+            padrow = lambda a, f=0.0: jnp.pad(
+                a, ((0, cap_p - cap), (0, 0)), constant_values=f)
+            rolled_x = [padrow(rx) for rx in rolled_x]
+            rolled_se = padrow(rolled_se)
+            rolled_hs = padrow(rolled_hs)
+            if rolled_pid is not None:
+                rolled_pid = padrow(rolled_pid, float(spec.n_real + 1))
+
+        def chunk(jc, carry):
+            f3, e_a, w_a = carry
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                a, jc * jb, jb, 0)[:, None, :]
+            fc, e, w = pair_block(
+                [sl(rx) for rx in rolled_x], sl(rolled_se), sl(rolled_hs),
+                sl(rolled_pid) if rolled_pid is not None else None)
+            return ([f3[d] + fc[d] for d in range(3)], e_a + e, w_a + w)
+
+        (fc3, e, w) = jax.lax.fori_loop(
+            0, n_chunks, chunk,
+            ([jnp.zeros((cap, C), jnp.float32) for _ in range(3)],
+             jnp.float32(0.0), jnp.float32(0.0)))
+        for d in range(3):
+            fx[d] = fx[d] + fc3[d]
+        e_tot = e_tot + e
+        w_tot = w_tot + w
 
     force = jnp.stack([f.reshape(-1) for f in fx])
     return state.replace(
@@ -581,19 +639,20 @@ def packed_temperature(state: PackedState, spec: PackedSpec,
     return 2.0 * ke / dof
 
 
-def bond_partner_attrs(bonds: np.ndarray, n: int) -> dict:
+def bond_partner_attrs(bonds: np.ndarray, n: int, slots: int = 2) -> dict:
     """Per-particle FENE partner attrs for the packed engine.
 
-    Linear-topology limit: ≤ 2 bonds per particle (bead-spring chains);
-    encoded as partner_pid+1 with 0 = no partner (vacant-safe)."""
-    bp = np.zeros((n, 2), np.float32)
+    ``slots`` = max bonds per particle (match ``PackedSpec.bond_slots``):
+    2 covers bead-spring chains; raise it for branched/star topologies.
+    Encoded as partner_pid+1 with 0 = no partner (vacant-safe)."""
+    bp = np.zeros((n, slots), np.float32)
     cnt = np.zeros(n, np.int32)
     for a, b in np.asarray(bonds):
         for x, y in ((a, b), (b, a)):
-            if cnt[x] >= 2:
+            if cnt[x] >= slots:
                 raise ValueError(
-                    f"particle {x} has >2 bonds; packed engine supports "
-                    "linear chains (use the particle-order engines)")
+                    f"particle {x} has more than {slots} bonds; raise "
+                    "bond_slots (PackedSpec + bond_partner_attrs)")
             bp[x, cnt[x]] = y + 1
             cnt[x] += 1
-    return {"bp0": bp[:, 0], "bp1": bp[:, 1]}
+    return {f"bp{k}": bp[:, k] for k in range(slots)}

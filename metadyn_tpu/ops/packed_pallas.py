@@ -64,13 +64,20 @@ def _rolled_stacks(state: PackedState, spec: PackedSpec):
 
 
 def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
+    refs = list(refs)
+    xi, yi, zi, se, hs = refs[:5]
+    del refs[:5]
     if spec is not None and spec.has_bonds:
-        (xi, yi, zi, se, hs, bp0, bp1,
-         xj, yj, zj, sej, hsj, pidj, fx, fy, fz, ew) = refs
+        nbp = spec.bond_slots
+        bps = refs[:nbp]
+        del refs[:nbp]
+        xj, yj, zj, sej, hsj, pidj = refs[:6]
+        del refs[:6]
     else:
-        (xi, yi, zi, se, hs,
-         xj, yj, zj, sej, hsj, fx, fy, fz, ew) = refs
-        bp0 = bp1 = pidj = None
+        bps = pidj = None
+        xj, yj, zj, sej, hsj = refs[:5]
+        del refs[:5]
+    fx, fy, fz, ew = refs
     ct = pl.program_id(0)
     o = pl.program_id(1)
 
@@ -91,9 +98,8 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
     z_i = zi[...]
     se_i = se[...]
     hs_i = hs[...]
-    if bp0 is not None:
-        bp0_i = bp0[...]
-        bp1_i = bp1[...]
+    if bps is not None:
+        bp_i = [b[...] for b in bps]
     z = jnp.zeros_like(x_i)
 
     def pair_row(xr, yr, zr, ser, hsr, pidr=None):
@@ -119,7 +125,10 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
             # bp attrs are partner_pid+1 (0 = none) — vacant-safe.  Not
             # gated on the pair r_cut: a stretched bond keeps FENE+WCA
             # (only the plain LJ term is cutoff-limited).
-            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & (r2 > 1e-12)
+            match = bp_i[0] == pidr + 1.0
+            for bpk in bp_i[1:]:
+                match = match | (bpk == pidr + 1.0)
+            bonded = match & (r2 > 1e-12)
             r2b = jnp.where(bonded, r2, 1.0)
             e_b, coef_b = _fene_wca_pair(r2b, eps, sig, spec)
             e = jnp.where(bonded, e_b, e)
@@ -199,9 +208,8 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     const_in = [xi, yi, zi, se, hs]
     if spec.has_bonds:
         # padded bp rows are 0 = "no partner", which never matches
-        bp0 = pad(state.attrs["bp0"].reshape(cap, C), 0, 1)
-        bp1 = pad(state.attrs["bp1"].reshape(cap, C), 0, 1)
-        const_in += [bp0, bp1]
+        const_in += [pad(state.attrs[f"bp{k}"].reshape(cap, C), 0, 1)
+                     for k in range(spec.bond_slots)]
 
     # grid order (ct, o): the offset axis is INNERMOST so the revisited
     # force-accumulator blocks are revisited on consecutive grid steps —

@@ -93,10 +93,11 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     se = None if ueps is not None else refs.pop(0)
     hs = None if usig is not None else refs.pop(0)
     if has_bonds:
-        bp0, bp1 = refs[0], refs[1]
-        del refs[:2]
+        nbp = spec.bond_slots
+        bps = refs[:nbp]
+        del refs[:nbp]
     else:
-        bp0 = bp1 = None
+        bps = None
     xj, yj, zj = refs[:3]
     del refs[:3]
     sej = None if ueps is not None else refs.pop(0)
@@ -122,8 +123,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     se_i = se[...] if se is not None else None
     hs_i = hs[...] if hs is not None else None
     if has_bonds:
-        bp0_i = bp0[...]
-        bp1_i = bp1[...]
+        bp_i = [b[...] for b in bps]
     z = jnp.zeros_like(x_i)
     # non-self offsets: each unordered pair once (weight 1); self: both
     # orders enumerated (weight ½), and no j-side force (i gets both)
@@ -173,7 +173,10 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         coef = 4.0 * eps * (12.0 * s12 - 6.0 * s6) * inv
         if pidr is not None:
             # not gated on the pair r_cut: a stretched bond keeps FENE+WCA
-            bonded = ((pidr + 1.0 == bp0_i) | (pidr + 1.0 == bp1_i)) & (r2 > 1e-12)
+            match = bp_i[0] == pidr + 1.0
+            for bpk in bp_i[1:]:
+                match = match | (bpk == pidr + 1.0)
+            bonded = match & (r2 > 1e-12)
             r2b = jnp.where(bonded, r2, 1.0)
             e_b, coef_b = _fene_wca_pair(r2b, eps, sig, spec)
             if with_energy:
@@ -284,8 +287,8 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     if spec.uniform_sigma is None:
         const_in.append(pad(state.attrs["hs"].reshape(cap, C), 0, 1))
     if spec.has_bonds:
-        const_in += [pad(state.attrs["bp0"].reshape(cap, C), 0, 1),
-                     pad(state.attrs["bp1"].reshape(cap, C), 0, 1)]
+        const_in += [pad(state.attrs[f"bp{k}"].reshape(cap, C), 0, 1)
+                     for k in range(spec.bond_slots)]
 
     const_spec = pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct),
                               memory_space=pltpu.VMEM)

@@ -25,18 +25,37 @@ def fcc_lattice(n_cells: int, a: float) -> np.ndarray:
 
 def polymer_melt(
     n_chains: int, chain_len: int, box_L: float, bond_len: float = 0.97,
-    seed: int = 0,
+    seed: int = 0, grid_starts: bool = False, persistence: float = 0.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Random-walk bead-spring chains in a cubic box.
 
     Returns (positions (n_chains·chain_len, 3), bonds (B, 2)).
     Overlaps are expected; relax with soft push-off before production.
+    ``grid_starts=True`` places chain starts on a jittered lattice instead
+    of uniformly at random, and ``persistence`` (0..1) correlates
+    successive bond directions (semi-extended initial chains — standard
+    melt-preparation practice).  Both cap the worst-case local density:
+    an ideal random walk folds a whole chain into ~2 cells, inflating the
+    packed-engine capacity ~4x at 1M beads.
     """
     rng = np.random.default_rng(seed)
     pos = np.empty((n_chains, chain_len, 3), np.float32)
-    pos[:, 0] = rng.uniform(-box_L / 2, box_L / 2, (n_chains, 3))
+    if grid_starts:
+        g = int(np.ceil(n_chains ** (1 / 3)))
+        pts = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                       -1).reshape(-1, 3)[:n_chains]
+        jitter = rng.uniform(0.1, 0.9, (n_chains, 3))
+        pos[:, 0] = ((pts + jitter) * (box_L / g) - box_L / 2).astype(
+            np.float32)
+    else:
+        pos[:, 0] = rng.uniform(-box_L / 2, box_L / 2, (n_chains, 3))
     steps = rng.normal(size=(n_chains, chain_len - 1, 3))
     steps /= np.linalg.norm(steps, axis=-1, keepdims=True)
+    if persistence > 0.0:
+        for i in range(1, chain_len - 1):
+            s = (persistence * steps[:, i - 1]
+                 + (1.0 - persistence) * steps[:, i])
+            steps[:, i] = s / np.linalg.norm(s, axis=-1, keepdims=True)
     pos[:, 1:] = pos[:, :1] + np.cumsum(steps * bond_len, axis=1)
     idx = np.arange(n_chains * chain_len).reshape(n_chains, chain_len)
     bonds = np.stack([idx[:, :-1].ravel(), idx[:, 1:].ravel()], axis=1)

@@ -513,3 +513,31 @@ def test_packed_uniform_eps_md_block():
     finally:
         pp2.pl.pallas_call = orig
     np.testing.assert_allclose(res[False], res[True], rtol=1e-5, atol=1e-5)
+
+
+def test_packed_force_j_chunking_matches_full():
+    """The memory-bounded j-chunked XLA force == the full-block path
+    (chunking auto-engages at ~1M-particle scale where (cap,cap,C)
+    pair blocks exceed HBM)."""
+    from metadyn_tpu.ops.packed import bond_partner_attrs
+    rng = np.random.default_rng(6)
+    n, L = 500, 12.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    bonds = np.stack([np.arange(0, 40, 2), np.arange(1, 40, 2)], 1)
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=1.0, cap=24,
+                             fene_k=30.0, fene_r0=1.5)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs=bond_partner_attrs(bonds, n))
+    assert not bool(ovf)
+    full = packed_lj_force(st, spec)
+    for jb in (8, 16):  # 24 % 16 != 0 exercises the padded tail
+        ch = packed_lj_force(st, spec, j_block=jb)
+        # f32 summation-order differences only
+        np.testing.assert_allclose(np.asarray(ch.f), np.asarray(full.f),
+                                   rtol=5e-5, atol=2e-2)
+        np.testing.assert_allclose(float(ch.potential_energy),
+                                   float(full.potential_energy), rtol=1e-6)
+        np.testing.assert_allclose(float(ch.virial), float(full.virial),
+                                   rtol=1e-6)
