@@ -1,14 +1,22 @@
 #!/usr/bin/env python
 """Headline benchmark: MD particle-steps/sec/chip at 64k particles with a
-2-CV well-tempered grid bias (BASELINE.json:2,5; target ≥ 50M).
+2-CV well-tempered grid bias (BASELINE.json:2,5; target >= 50M).
 
 Config-3 shaped run (BASELINE.json:9): 64k LJ fluid, Langevin NVT, two
 collective variables on a 2-D well-tempered bias grid, packed cell engine
 with the Pallas pair-force kernel, everything fused into stride chunks.
 
+The equilibrated 64k liquid is loaded from a committed snapshot
+(bench_data/liq64k.npz) so the bench skips the superheated-lattice
+equilibration (and its separate engine compile) entirely; if the snapshot
+is absent it is regenerated once and saved.  This keeps the cold run well
+inside the driver's time budget (round-2 lesson: a 50M number the driver
+times out on is operationally a miss).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import pathlib
 import sys
 import time
 
@@ -33,25 +41,30 @@ from metadyn_tpu.utils.lattice import fcc_lattice
 
 BASELINE = 50e6  # particle-steps/sec/chip north star (BASELINE.md)
 
+RHO = 0.8
+N_CELLS = 25                        # 62500 ~= 64k particles
+KT = 1.0
+SNAP = pathlib.Path(__file__).resolve().parent / "bench_data" / "liq64k.npz"
 
-def main():
-    rho = 0.8
-    a = (4.0 / rho) ** (1.0 / 3.0)
-    n_cells = 25                       # 62500 ≈ 64k particles
-    pos = fcc_lattice(n_cells, a)
+
+def generate_snapshot():
+    """Equilibrate the melting fcc lattice unbiased and save the liquid.
+
+    Run once (snapshot absent); generous cap=40 because the
+    superheated-lattice collapse transiently spikes cell occupancy above
+    the equilibrated-liquid maximum of ~33.
+    """
+    a = (4.0 / RHO) ** (1.0 / 3.0)
+    pos = fcc_lattice(N_CELLS, a)
     n = pos.shape[0]
-    L = n_cells * a
+    L = N_CELLS * a
     box = Box.cubic(L)
-    kT = 1.0
 
-    # Equilibrate the melting fcc lattice UNBIASED at a generous capacity
-    # first: the superheated-lattice collapse transiently spikes cell
-    # occupancy above the equilibrated-liquid maximum of 30.
     eq_spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
                                 shift_energy=False)
     eq_engine = PackedEngine(eq_spec, rebuild_every=10)
     rng = np.random.default_rng(0)
-    vel = rng.normal(0.0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel = rng.normal(0.0, np.sqrt(KT), (n, 3)).astype(np.float32)
     vel -= vel.mean(axis=0)
     eq_state, overflow = eq_engine.pack_state(
         pos, box, jnp.zeros(n, jnp.int32),
@@ -59,7 +72,7 @@ def main():
     assert not bool(overflow), "cell capacity overflow at pack"
     eq_state, eq_aux = eq_engine.init(eq_state)
     eq_step = make_packed_langevin_step(
-        lambda s: eq_engine.force_into(s, None), dt=0.005, kT=kT, gamma=1.0)
+        lambda s: eq_engine.force_into(s, None), dt=0.005, kT=KT, gamma=1.0)
 
     @jax.jit
     def equilibrate(st, aux, key):
@@ -76,6 +89,21 @@ def main():
     from metadyn_tpu.ops.packed import unpack_positions
     liq_pos = np.asarray(unpack_positions(eq_state, eq_spec))
     liq_vel = np.asarray(eq_state.v[:, eq_state.slot_of].T)
+    SNAP.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(SNAP, pos=liq_pos, vel=liq_vel, L=np.float32(L))
+    return liq_pos, liq_vel, L
+
+
+def main():
+    if SNAP.exists():
+        d = np.load(SNAP)
+        liq_pos, liq_vel, L = d["pos"], d["vel"], float(d["L"])
+    else:
+        print("bench_data/liq64k.npz absent; equilibrating once...",
+              file=sys.stderr)
+        liq_pos, liq_vel, L = generate_snapshot()
+    n = liq_pos.shape[0]
+    box = Box.cubic(L)
 
     # Production engine.  cap=40: per-rebuild max occupancy of the liquid
     # was measured at 33 (spikes above 32 in ~0.7% of rebuilds), so 32 is
@@ -101,24 +129,24 @@ def main():
     assert not bool(overflow), "cell capacity overflow at production pack"
 
     stride = 500
+    gspec = GridSpec.create([-0.06, -0.06], [0.06, 0.06], [64, 64],
+                            [0.004, 0.004])
     sampler = MetadSampler(
         system, state, engine, cvs=[cv1, cv2],
         # CV range bounds the bias-induced density modulation so cell
         # occupancy stays within capacity (the bias *drives* lamellar
         # ordering — that's its job)
-        grid_spec=GridSpec.create([-0.06, -0.06], [0.06, 0.06], [64, 64],
-                                  [0.004, 0.004]),
+        grid_spec=gspec,
         hills=HillSpec.create(W=0.1, stride=stride, mode=WELL_TEMPERED,
                               deltaT=5.0),
         integrator_factory=lambda f: make_packed_langevin_step(
-            f, dt=0.005, kT=kT, gamma=1.0),
+            f, dt=0.005, kT=KT, gamma=1.0),
         seed=0,
         chunks_per_block=8,
-        walls=WallSpec.at_grid_edges(GridSpec.create(
-            [-0.06, -0.06], [0.06, 0.06], [64, 64], [0.004, 0.004]), k=2000.0),
+        walls=WallSpec.at_grid_edges(gspec, k=2000.0),
     )
 
-    # warm-up: compile + equilibrate one block
+    # warm-up: one block — compiles the fused chunk and settles the caches
     sampler.run(stride * 8)
     # measure
     n_meas = stride * 8

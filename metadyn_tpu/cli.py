@@ -142,7 +142,7 @@ def _integrator_factory(icfg, system, packed: bool):
     raise ValueError(f"unknown integrator kind {kind}")
 
 
-def build_sampler(cfg: dict):
+def build_sampler(cfg: dict, resume: bool = False):
     import jax
     import jax.numpy as jnp
     from .core.box import Box
@@ -276,8 +276,23 @@ def build_sampler(cfg: dict):
 
     # --- metadynamics ----------------------------------------------------
     grid = _grid_from_cfg(cvs_cfg, mcfg)
-    walls = (WallSpec.at_grid_edges(grid, k=float(mcfg["wall_k"]))
-             if ("wall_k" in mcfg and grid is not None) else None)
+    walls = None
+    if "wall_k" in mcfg:
+        if grid is not None:
+            walls = WallSpec.at_grid_edges(grid, k=float(mcfg["wall_k"]))
+        else:
+            # hill-list (non-grid) mode: walls from explicit per-CV bounds
+            # (``wall: {min, max}`` on each cv entry) — previously the
+            # wall_k was silently dropped here (round-2 weak #8)
+            assert all("wall" in c for c in cvs_cfg), (
+                "wall_k without a grid needs wall: {min, max} on every cv")
+            walls = WallSpec(
+                k=jnp.full(len(cvs_cfg), float(mcfg["wall_k"])),
+                lo=jnp.asarray([float(c["wall"]["min"]) for c in cvs_cfg]),
+                hi=jnp.asarray([float(c["wall"]["max"]) for c in cvs_cfg]))
+    # resuming must append to the accumulated hill history, not truncate
+    # it (the hill file is the offline sum_hills input) — round-2 advisor
+    hill_overwrite = bool(out_cfg.get("overwrite", True)) and not resume
 
     if mode == "flux_tempered":
         assert grid is not None, "flux-tempered mode needs a CV grid"
@@ -328,7 +343,7 @@ def build_sampler(cfg: dict):
             mesh=Mesh(np.asarray(devs[:n_walkers]), ("walkers",)),
             seed=int(cfg.get("seed", 0)), walls=walls,
             hill_file=out_cfg.get("hill_file"),
-            overwrite=bool(out_cfg.get("overwrite", True)),
+            overwrite=hill_overwrite,
             chunks_per_block=int(cfg.get("chunks_per_block", 16)))
         return sampler, cfg
 
@@ -336,7 +351,7 @@ def build_sampler(cfg: dict):
         system, state, engine, cvs=cvs, grid_spec=grid, hills=hills,
         integrator_factory=integ, seed=int(cfg.get("seed", 0)),
         hill_file=out_cfg.get("hill_file"),
-        overwrite=bool(out_cfg.get("overwrite", True)),
+        overwrite=hill_overwrite,
         walls=walls,
         hill_sigma=[c.get("sigma", mcfg.get("sigma", 0.1)) for c in cvs_cfg]
         if grid is None else None,
@@ -362,7 +377,7 @@ def cmd_run(args) -> int:
 
     with open(args.config) as f:
         cfg = yaml.safe_load(f)
-    sampler, cfg = build_sampler(cfg)
+    sampler, cfg = build_sampler(cfg, resume=args.resume)
     out_cfg = cfg.get("output", {})
     logger = (CSVLogger(out_cfg["log_file"], overwrite=not args.resume)
               if "log_file" in out_cfg else None)

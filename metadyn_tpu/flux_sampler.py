@@ -104,12 +104,16 @@ class FluxTemperedSampler:
             metrics = {"cv": s, **engine.metrics(state, aux)}
             return new, metrics
 
-        # one jitted stride chunk; the host loops chunks within an update
-        # period.  (A period-long fused scan compiles a program whose size
-        # scales with update_period — observed to kill the remote compile
-        # service at the 1M scale; per-chunk dispatch is physics-identical
-        # and keeps the compiled program O(stride).)
-        self._run_chunk = jax.jit(lambda c, b: chunk(c, b, None))
+        # one jitted update period: a lax.scan over stride chunks with the
+        # bias held fixed (it only changes at period boundaries).  The scan
+        # body compiles once, so the program stays O(stride) regardless of
+        # update_period — this amortizes dispatch the same way
+        # MetadSampler's chunks_per_block does (round-2 weak #8).
+        def period(carry: FluxCarry, bias: BiasState):
+            return jax.lax.scan(lambda c, _: chunk(c, bias, None), carry,
+                                None, length=update_period)
+
+        self._run_period = jax.jit(period)
         self.history: list[dict] = []
         self.n_updates = 0
         self.gain0 = gain0
@@ -128,12 +132,8 @@ class FluxTemperedSampler:
             f"n_steps must be a multiple of stride*update_period={period_steps}")
         out = []
         for _ in range(n_steps // period_steps):
-            period_metrics = []
-            for _c in range(self.update_period):
-                self.carry, metrics = self._run_chunk(self.carry, self.bias)
-                period_metrics.append(metrics)
-            m = jax.device_get(jax.tree.map(
-                lambda *xs: jnp.stack(xs), *period_metrics))
+            self.carry, stacked = self._run_period(self.carry, self.bias)
+            m = jax.device_get(stacked)
             m["round_trips"] = float(round_trips(self.carry.flux))
             out.append(m)
             gain = self.gain0 / (1.0 + self.n_updates / self.gain_halflife)
@@ -144,6 +144,22 @@ class FluxTemperedSampler:
             self.n_updates += 1
         self.history.extend(out)
         return out
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist carry AND the bias grid + gain-schedule position.
+
+        The bias lives outside the carry (it is constant within an update
+        period), so a carry-only checkpoint would silently resume with a
+        zero bias and a reset gain schedule (round-2 advisor, medium)."""
+        from .io.checkpoint import save_checkpoint
+        save_checkpoint(path, (self.carry, self.bias),
+                        extra={"n_updates": self.n_updates})
+
+    def load_checkpoint(self, path: str) -> None:
+        from .io.checkpoint import load_checkpoint
+        (self.carry, self.bias), extras = load_checkpoint(
+            path, (self.carry, self.bias))
+        self.n_updates = int(extras["n_updates"])
 
     def free_energy(self) -> np.ndarray:
         F = -np.asarray(self.bias.grid.V)

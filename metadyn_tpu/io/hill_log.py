@@ -20,7 +20,10 @@ class HillLog:
     def __init__(self, path: str, sampler: "MetadSampler", overwrite: bool = False):
         self.path = path
         self._sampler = sampler
-        d = sampler.grid_spec.ndim
+        # hill-list (non-grid) mode carries per-CV widths on the sampler
+        self._sigma = (np.asarray(sampler.grid_spec.sigma)
+                       if sampler.grid_spec is not None
+                       else np.asarray(sampler.bias.sigma))
         names = [cv.log_name for cv in sampler.cvs]
         if overwrite or not os.path.exists(path):
             with open(path, "w") as f:
@@ -32,7 +35,7 @@ class HillLog:
         step = np.atleast_1d(np.asarray(recs.step))
         center = np.atleast_2d(np.asarray(recs.center))
         height = np.atleast_1d(np.asarray(recs.height))
-        sigma = np.asarray(self._sampler.grid_spec.sigma)
+        sigma = self._sigma
         with open(self.path, "a") as f:
             for i in range(step.shape[0]):
                 row = [f"{int(step[i])}"]

@@ -497,7 +497,7 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
     # j-axis chunking: the full (cap, cap, C) pair block OOMs at ~1M
     # particles with generous caps; process j in slabs of j_block rows
     # via fori_loop (identical math, bounded peak memory).  Auto-enable
-    # past 2^27 pair elements.
+    # past 2^26 pair elements.
     if j_block is None and cap * cap * C > 2**26:
         j_block = max(8, (2**26 // (cap * C)) // 8 * 8)
     jb = cap if j_block is None or j_block >= cap else j_block

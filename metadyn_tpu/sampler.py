@@ -158,7 +158,14 @@ def make_stride_chunk(
     integrators (NPT box-shape metadynamics, SURVEY.md §2a AspectRatio)
     can interpolate ∂V/∂s against the live bias inside the chunk."""
     import inspect
-    want_bias = len(inspect.signature(integrator_factory).parameters) >= 2
+    # count only parameters WITHOUT defaults: a one-arg factory carrying a
+    # defaulted closure param (lambda f, _c=c: ...) must not get the bias
+    # bound to its second slot (round-2 advisor, low)
+    _params = inspect.signature(integrator_factory).parameters.values()
+    want_bias = sum(
+        1 for p in _params
+        if p.default is inspect.Parameter.empty
+        and p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)) >= 2
     r = min(engine.rebuild_every, hills.stride)
     assert hills.stride % r == 0, (
         f"stride={hills.stride} must be a multiple of rebuild_every={r}")
