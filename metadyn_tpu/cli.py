@@ -97,12 +97,12 @@ def _grid_from_cfg(cvs_cfg, mcfg):
         periodic=[bool(c["grid"].get("periodic", False)) for c in cvs_cfg])
 
 
-def _integrator_factory(icfg, system, packed: bool):
+def _integrator_factory(icfg, system, packed: bool, spec=None):
     from .integrate.langevin import make_langevin_step
     from .integrate.nvt import make_nvt_nh_step, make_nvt_bdp_step
     from .integrate.npt import make_npt_scr_step
     from .integrate.packed import make_packed_langevin_step, \
-        make_packed_nve_step
+        make_packed_nve_step, make_packed_npt_scr_step
 
     kind = icfg.get("kind", "langevin")
     dt = float(icfg["dt"])
@@ -113,7 +113,24 @@ def _integrator_factory(icfg, system, packed: bool):
                 f, dt=dt, kT=kT, gamma=float(icfg.get("gamma", 1.0)))
         if kind == "nve":
             return lambda f: make_packed_nve_step(f, dt=dt)
-        raise ValueError(f"packed engine supports langevin/nve, got {kind}")
+        if kind == "npt_scr":
+            kw = dict(dt=dt, kT=kT, pressure=float(icfg["pressure"]),
+                      gamma=float(icfg.get("gamma", 1.0)),
+                      tau_p=float(icfg.get("tau_p", 2.0)),
+                      anisotropic=bool(icfg.get("anisotropic", False)),
+                      kappa=float(icfg.get("kappa", 0.1)))
+            if bool(icfg.get("box_bias", False)):
+                from .cv.aspect_ratio import AspectRatio, box_bias_fn_for
+
+                def factory(f, bias, _kw=kw):
+                    cv = AspectRatio()
+                    return make_packed_npt_scr_step(
+                        f, spec, box_bias_fn=box_bias_fn_for(cv, bias),
+                        **_kw)
+                return factory
+            return lambda f: make_packed_npt_scr_step(f, spec, **kw)
+        raise ValueError(
+            f"packed engine supports langevin/nve/npt_scr, got {kind}")
     if kind == "langevin":
         return lambda f: make_langevin_step(
             f, system, dt=dt, kT=kT, gamma=float(icfg.get("gamma", 1.0)))
@@ -248,7 +265,10 @@ def build_sampler(cfg: dict, resume: bool = False):
             fene_r0=None if fene is None else float(fene["r0"]),
             uniform_sigma=eng_cfg.get("uniform_sigma"))
         engine = PackedEngine(
-            spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+            spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
+            # NPT reads state.virial every step; WTE reads the energy
+            with_energy=(icfg.get("kind") == "npt_scr"
+                         or bool(eng_cfg.get("with_energy", False))))
         cvs, extra_attrs = _build_packed_cvs(cvs_cfg, spec, n, types, pos,
                                              system)
         if fene is not None:
@@ -272,7 +292,8 @@ def build_sampler(cfg: dict, resume: bool = False):
         cvs = _build_particle_cvs(cvs_cfg, system, L, pos)
         packed = False
 
-    integ = _integrator_factory(icfg, system, packed)
+    integ = _integrator_factory(icfg, system, packed,
+                                spec=spec if packed else None)
 
     # --- metadynamics ----------------------------------------------------
     grid = _grid_from_cfg(cvs_cfg, mcfg)

@@ -31,7 +31,7 @@ class State:
     image: jax.Array     # (N, 3) i32 — box-image counters (unwrapping / MSD)
     box: Box
     potential_energy: jax.Array  # () f32 — potential energy at current positions
-    virial: jax.Array            # () f32 — Σ_{i<j} f_ij·r_ij at current positions
+    virial: jax.Array            # (3,) f32 — diagonal virial Σ_{i<j} f_ij,d·r_ij,d
     xi: jax.Array                # () f32 — Nosé–Hoover thermostat DOF
 
     @property
@@ -104,7 +104,7 @@ def make_state(
         image=shift,
         box=box,
         potential_energy=jnp.float32(0.0),
-        virial=jnp.float32(0.0),
+        virial=jnp.zeros(3, jnp.float32),
         xi=jnp.float32(0.0),
     )
 
@@ -122,9 +122,17 @@ def kinetic_energy(state: State, system: System) -> jax.Array:
 
 
 def pressure(state: State, system: System) -> jax.Array:
-    """Instantaneous pressure: PV = N·kT_inst + W/3 (W = Σ f_ij·r_ij)."""
+    """Instantaneous pressure: PV = N·kT_inst + W/3 (W = Σ_d W_d)."""
     ke = kinetic_energy(state, system)
-    return (2.0 * ke / 3.0 + state.virial / 3.0) / state.box.volume
+    return (2.0 * ke / 3.0 + jnp.sum(state.virial) / 3.0) / state.box.volume
+
+
+def pressure_tensor(state: State, system: System) -> jax.Array:
+    """Diagonal pressure tensor (3,): P_d·V = Σ_i m v_d² + W_d (the
+    per-axis stress the reference's NPT uses — SURVEY.md §2b
+    IntegratorTwoStep row)."""
+    ke2_d = jnp.sum(system.mass[:, None] * state.vel ** 2, axis=0)
+    return (ke2_d + state.virial) / state.box.volume
 
 
 def temperature(state: State, system: System) -> jax.Array:

@@ -97,20 +97,23 @@ class MeshOrderParameter:
         return f"cv_{self.name}"
 
     def _kernels(self, box) -> tuple[jax.Array, jax.Array]:
-        """(u_k, vir_k) at the current box.  vir_k = u'(|k|)·|k|."""
+        """(u_k, vir_k) at the current box.  vir_k is the PER-AXIS stack
+        (3, nx, ny, nz): vir_d = u'(|k|)·k_d²/|k| (trace = u'(|k|)·|k|)."""
         if self.u_k is not None:
-            return self.u_k, jnp.zeros(self.mesh_shape, jnp.float32)
+            return self.u_k, jnp.zeros((3,) + self.mesh_shape, jnp.float32)
         ms = [np.fft.fftfreq(n_) * n_ for n_ in self.mesh_shape]  # static
-        mx, my, mz = np.meshgrid(*ms, indexing="ij")
-        kmag = 2.0 * np.pi * jnp.sqrt(
-            (jnp.asarray(mx, jnp.float32) / box.L[0]) ** 2
-            + (jnp.asarray(my, jnp.float32) / box.L[1]) ** 2
-            + (jnp.asarray(mz, jnp.float32) / box.L[2]) ** 2)
+        mgrid = np.meshgrid(*ms, indexing="ij")
+        kd2 = jnp.stack([
+            (2.0 * jnp.pi * jnp.asarray(m, jnp.float32) / box.L[d]) ** 2
+            for d, m in enumerate(mgrid)])                   # (3, nx, ny, nz)
+        kmag = jnp.sqrt(jnp.sum(kd2, axis=0))
         u = jnp.exp(-0.5 * ((kmag - self.k0) / self.width) ** 2)
-        vir = -((kmag - self.k0) / self.width**2) * u * kmag
+        uprime = -((kmag - self.k0) / self.width**2) * u
+        safe = jnp.where(kmag > 0.0, kmag, 1.0)
+        vir = uprime[None] * kd2 / safe
         # exclude the k=0 (total density) mode
-        u = u.at[0, 0, 0].set(0.0)
-        vir = vir.at[0, 0, 0].set(0.0)
+        u = jnp.where(kmag == 0.0, 0.0, u)
+        vir = jnp.where(kmag[None] == 0.0, 0.0, vir)
         return u, vir
 
     def _rho_k2(self, state: State, system: System) -> jax.Array:
@@ -125,13 +128,14 @@ class MeshOrderParameter:
 
     def bias_virial(self, state: State, system: System,
                     dVds: jax.Array) -> jax.Array:
-        """Scalar k-space virial of the bias force, W = −dE/dλ under
-        uniform scaling r→λr, L→λL (SURVEY.md §3.3).
-
-        ρ̂ at fixed integer mode is scale-invariant (CIC weights are pure
-        fractional-coordinate functions), so the only λ-dependence is
-        |k| → |k|/λ inside u:  W = dVds·(1/N)·Σ_k |ρ̂|²·u'(|k|)·|k|.
-        Without it, NPT + mesh-CV bias samples the wrong pressure."""
+        """Per-axis (3,) k-space virial of the bias force: under the
+        per-axis strain L_d→(1+ε_d)L_d, ρ̂ at fixed integer mode is
+        invariant (CIC weights are pure fractional-coordinate functions),
+        so the only ε_d-dependence is k_d → k_d/(1+ε_d) inside u:
+        W_d = dVds·(1/N)·Σ_k |ρ̂|²·u'(|k|)·k_d²/|k|  (SURVEY.md §3.3).
+        The trace recovers the uniform-scaling virial; without it, NPT +
+        mesh-CV bias samples the wrong pressure."""
         n = state.pos.shape[0]
         _, vir = self._kernels(state.box)
-        return dVds * jnp.sum(self._rho_k2(state, system) * vir) / n
+        return dVds * jnp.sum(self._rho_k2(state, system)[None] * vir,
+                              axis=(1, 2, 3)) / n

@@ -33,8 +33,10 @@ class MSD:
 
     def bias_virial(self, state: State, system: System,
                     dVds: jax.Array) -> jax.Array:
-        """W = −dVds·ds/dλ under uniform scaling (r scales, the stored
-        reference positions do not): ds/dλ = (2/N)·Σ (r−r⁰)·r."""
+        """Per-axis W_d = −dVds·ds/dε_d under the axis strain (r_d
+        scales, the stored reference positions do not):
+        ds/dε_d = (2/N)·Σ (r_d−r⁰_d)·r_d."""
         unwrapped = state.pos + state.image.astype(state.pos.dtype) * state.box.L
         d = unwrapped - self.ref_pos
-        return -dVds * 2.0 * jnp.sum(d * unwrapped) / state.pos.shape[0]
+        return -dVds * 2.0 * jnp.sum(d * unwrapped, axis=0) \
+            / state.pos.shape[0]

@@ -114,13 +114,13 @@ class PackedMSD:
 
     def bias_virial(self, state: PackedState, system: System,
                     dVds: jax.Array) -> jax.Array:
-        """W = −dVds·(2/N)·Σ (u−r⁰)·u (see cv/msd.py)."""
+        """Per-axis W_d = −dVds·(2/N)·Σ (u_d−r⁰_d)·u_d (see cv/msd.py)."""
         valid = (state.pid < self.n_real).astype(jnp.float32)
-        acc = jnp.float32(0.0)
+        acc = []
         for d, nm in enumerate(("msd_x", "msd_y", "msd_z")):
             u = state.r[d] + state.image[d].astype(jnp.float32) * state.box.L[d]
-            acc = acc + jnp.sum((u - state.attrs[nm]) * u * valid)
-        return -dVds * 2.0 * acc / self.n_real
+            acc.append(jnp.sum((u - state.attrs[nm]) * u * valid))
+        return -dVds * 2.0 * jnp.stack(acc) / self.n_real
 
 
 def msd_reference_attrs(pos: np.ndarray) -> dict:
@@ -161,18 +161,22 @@ class PackedMesh:
                    mesh_shape=mesh_shape, n_real=n_real, name=name)
 
     def _kernels(self, box):
+        """(u, vir) with vir the per-axis stack (3, nx, ny, nz):
+        vir_d = u'(|k|)·k_d²/|k| (see cv/mesh.py)."""
         if self.u_k is not None:
-            return self.u_k, jnp.zeros(self.mesh_shape, jnp.float32)
+            return self.u_k, jnp.zeros((3,) + self.mesh_shape, jnp.float32)
         ms = [np.fft.fftfreq(n_) * n_ for n_ in self.mesh_shape]
-        mx, my, mz = np.meshgrid(*ms, indexing="ij")
-        kmag = 2.0 * np.pi * jnp.sqrt(
-            (jnp.asarray(mx, jnp.float32) / box.L[0]) ** 2
-            + (jnp.asarray(my, jnp.float32) / box.L[1]) ** 2
-            + (jnp.asarray(mz, jnp.float32) / box.L[2]) ** 2)
+        mgrid = np.meshgrid(*ms, indexing="ij")
+        kd2 = jnp.stack([
+            (2.0 * jnp.pi * jnp.asarray(m, jnp.float32) / box.L[d]) ** 2
+            for d, m in enumerate(mgrid)])
+        kmag = jnp.sqrt(jnp.sum(kd2, axis=0))
         u = jnp.exp(-0.5 * ((kmag - self.k0) / self.width) ** 2)
-        vir = -((kmag - self.k0) / self.width**2) * u * kmag
-        u = u.at[0, 0, 0].set(0.0)
-        vir = vir.at[0, 0, 0].set(0.0)
+        uprime = -((kmag - self.k0) / self.width**2) * u
+        safe = jnp.where(kmag > 0.0, kmag, 1.0)
+        vir = uprime[None] * kd2 / safe
+        u = jnp.where(kmag == 0.0, 0.0, u)
+        vir = jnp.where(kmag[None] == 0.0, 0.0, vir)
         return u, vir
 
     @property
@@ -213,6 +217,8 @@ class PackedMesh:
 
     def bias_virial(self, state: PackedState, system: System,
                     dVds: jax.Array) -> jax.Array:
-        """k-space virial W = dVds·(1/N)Σ|ρ̂|²u'(|k|)|k| (see cv/mesh.py)."""
+        """Per-axis k-space virial W_d = dVds·(1/N)Σ|ρ̂|²u'(|k|)k_d²/|k|
+        (see cv/mesh.py)."""
         _, vir = self._kernels(state.box)
-        return dVds * jnp.sum(self._rho_k2(state) * vir) / self.n_real
+        return dVds * jnp.sum(self._rho_k2(state)[None] * vir,
+                              axis=(1, 2, 3)) / self.n_real

@@ -7,9 +7,11 @@ Bernetti & Bussi (J. Chem. Phys. 153, 114107, 2020): correct NPT sampling,
 first-order in dt, no barostat inertia DOF — a good fit for a carry-light
 jitted step.
 
-Anisotropic mode integrates Lx, Ly, Lz independently (per-axis virials are
-approximated isotropically for now — adequate for fluid/box-shape
-sampling); ``box_bias_fn(state) -> (3,) ∂V_bias/∂L`` lets the metadynamics
+Anisotropic mode integrates Lx, Ly, Lz independently against the TRUE
+per-axis internal pressure P_d = (Σ m v_d² + W_d)/V using the diagonal
+virial tensor carried in ``state.virial`` (pair/bond/mesh paths all
+accumulate per-axis — SURVEY.md §2b IntegratorTwoStep stress tensor);
+``box_bias_fn(state) -> (3,) ∂V_bias/∂L`` lets the metadynamics
 aspect-ratio bias act on the box.
 """
 from __future__ import annotations
@@ -60,12 +62,14 @@ def make_npt_scr_step(
         # --- barostat: stochastic cell rescaling ---
         ke = 0.5 * jnp.sum(system.mass[:, None] * v * v)
         vol = state.box.volume
-        p_int = (2.0 * ke / 3.0 + state.virial / 3.0) / vol
+        p_int = (2.0 * ke / 3.0 + jnp.sum(state.virial) / 3.0) / vol
         if anisotropic:
-            # per-axis strain with shared internal pressure estimate plus
-            # the box-bias generalized force
+            # per-axis strain against the TRUE per-axis internal pressure
+            # P_d = (Σ m v_d² + W_d)/V, plus the box-bias generalized force
             g = jax.random.normal(k_baro, (3,))
-            dP = p_int - pressure
+            ke2_d = jnp.sum(system.mass[:, None] * v * v, axis=0)
+            p_d = (ke2_d + state.virial) / vol
+            dP = p_d - pressure
             if box_bias_fn is not None:
                 # bias stress along axis d: σ_d = −(1/V)·∂E_bias/∂ε_d
                 # = −(∂V/∂L_d)·L_d / V — enters the per-axis pressure

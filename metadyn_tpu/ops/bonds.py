@@ -38,7 +38,7 @@ def harmonic_bond_force(
     """u = ½ k (r − r0)²  over the bond table (B, 2)."""
     if bonds.shape[0] == 0:
         z = jnp.float32(0.0)
-        return PairForceResult(z, jnp.zeros_like(pos), z)
+        return PairForceResult(z, jnp.zeros_like(pos), jnp.zeros(3))
     i, j = bonds[:, 0], bonds[:, 1]
     dr = minimum_image(pos[i] - pos[j], box)
     r2 = jnp.sum(dr * dr, axis=-1)
@@ -49,7 +49,7 @@ def harmonic_bond_force(
     coef = -k * (r - r0) / r                     # F_i = coef * dr
     f_pair = coef[:, None] * dr
     force = jnp.zeros_like(pos).at[i].add(f_pair).at[j].add(-f_pair)
-    return PairForceResult(jnp.sum(e), force, jnp.sum(coef * r2))
+    return PairForceResult(jnp.sum(e), force, jnp.sum(f_pair * dr, axis=0))
 
 
 def fene_bond_force(
@@ -60,7 +60,7 @@ def fene_bond_force(
     u = −½ k r0² ln(1 − (r/r0)²) + WCA(r)."""
     if bonds.shape[0] == 0:
         z = jnp.float32(0.0)
-        return PairForceResult(z, jnp.zeros_like(pos), z)
+        return PairForceResult(z, jnp.zeros_like(pos), jnp.zeros(3))
     i, j = bonds[:, 0], bonds[:, 1]
     dr = minimum_image(pos[i] - pos[j], box)
     r2 = jnp.sum(dr * dr, axis=-1)
@@ -84,4 +84,4 @@ def fene_bond_force(
     coef = coef_fene + coef_wca
     f_pair = coef[:, None] * dr
     force = jnp.zeros_like(pos).at[i].add(f_pair).at[j].add(-f_pair)
-    return PairForceResult(jnp.sum(e), force, jnp.sum(coef * r2))
+    return PairForceResult(jnp.sum(e), force, jnp.sum(f_pair * dr, axis=0))

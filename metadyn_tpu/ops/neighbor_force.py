@@ -46,5 +46,5 @@ def neighbor_pair_force(
     tj = types_pad[j_safe]
     e, coef = kernel(r2, types[:, None], tj, params)
     force = jnp.stack([jnp.sum(coef * c, axis=1) for c in dx], axis=1)
-    return PairForceResult(
-        0.5 * jnp.sum(e), force, 0.5 * jnp.sum(jnp.where(mask, coef * r2, 0.0)))
+    w = jnp.stack([jnp.sum(jnp.where(mask, coef * c * c, 0.0)) for c in dx])
+    return PairForceResult(0.5 * jnp.sum(e), force, 0.5 * w)

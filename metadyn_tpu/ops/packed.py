@@ -141,7 +141,7 @@ class PackedState:
     attrs: dict         # per-slot f32 attrs: 'se'=√ε, 'hs'=σ/2, + CV coefs
     box: Box
     potential_energy: jax.Array
-    virial: jax.Array
+    virial: jax.Array   # (3,) diagonal virial
 
     @property
     def n_pad(self) -> int:
@@ -262,7 +262,9 @@ def pack(
     valid = pid1 > 0
     if spec.uniform_eps is not None:
         r = jnp.where(valid[None, :], r, jnp.float32(VACANT_X))
-    n_types = int(jnp.max(types)) + 1 if types.shape[0] else 1
+    # vacant-type sentinel = n_types, derived tracably (jit-safe)
+    n_types = (jnp.max(types).astype(jnp.int32) + 1 if types.shape[0]
+               else jnp.int32(1))
     state = PackedState(
         r=r,
         v=jnp.stack(out[3:6]),
@@ -275,9 +277,94 @@ def pack(
         attrs=dict(zip(attr_names, out[11:])),
         box=box,
         potential_energy=jnp.float32(0.0),
-        virial=jnp.float32(0.0),
+        virial=jnp.zeros(3, jnp.float32),
     )
     return state, overflow
+
+
+def pack_host(
+    pos: np.ndarray,
+    box: Box,
+    spec: PackedSpec,
+    types,
+    eps_i,
+    sigma_i,
+    vel=None,
+    image=None,
+    extra_attrs=None,
+) -> tuple[PackedState, bool]:
+    """NumPy twin of :func:`pack` — the initial build runs entirely on
+    the host.
+
+    Rationale (round 3, measured on the axon remote TPU): the traced
+    ``pack`` contains a 62k-element ``argsort`` whose XLA TPU *compile*
+    takes ~400 s (sorting networks), while the host argsort is
+    milliseconds.  Packing happens once per run, so the host path makes
+    every cold start (bench, CLI, driver gates) compile-free; the
+    sort-free incremental repack handles all subsequent migrations
+    on-device.  Mirrors pack()'s f32 arithmetic and stable ordering.
+    """
+    n = spec.n_real
+    cpd = np.asarray(spec.cells_per_dim, np.int32)
+    C, cap, npad = spec.n_cells, spec.cap, spec.n_pad
+    L = np.asarray(box.L, np.float32).reshape(3)
+    r = np.asarray(pos, np.float32).T.copy()            # (3, N)
+    v = (np.zeros_like(r) if vel is None
+         else np.asarray(vel, np.float32).T)
+    im = (np.zeros((3, n), np.int32) if image is None
+          else np.asarray(image, np.int32).T)
+    shift = np.floor(r / L[:, None] + np.float32(0.5))
+    r = r - L[:, None] * shift
+    im = im + shift.astype(np.int32)
+    cid = np.zeros(n, np.int64)
+    for d in range(3):
+        frac = r[d] / L[d] + np.float32(0.5)
+        c = np.clip(np.floor(frac * cpd[d]).astype(np.int64), 0, cpd[d] - 1)
+        cid = cid * cpd[d] + c
+    order = np.argsort(cid, kind="stable")
+    sorted_cid = cid[order]
+    rank = np.arange(n) - np.searchsorted(sorted_cid, sorted_cid, "left")
+    slot_sorted = np.where(rank < cap, rank * C + sorted_cid, npad)
+    overflow = bool(np.any(rank >= cap))
+    slot = np.empty(n, np.int64)
+    slot[order] = slot_sorted
+
+    types = np.asarray(types, np.int32)
+    names = sorted((extra_attrs or {}).keys())
+    attr_cols = ([np.sqrt(np.asarray(eps_i, np.float32)),
+                  0.5 * np.asarray(sigma_i, np.float32)]
+                 + [np.asarray((extra_attrs or {})[k], np.float32)
+                    for k in names])
+
+    def scat(col, fill=0.0, dtype=np.float32):
+        out = np.full(npad + 1, fill, dtype)
+        out[slot] = col
+        return out[:npad]
+
+    r_o = np.stack([scat(r[d]) for d in range(3)])
+    pid1 = scat(np.arange(1, n + 1, dtype=np.int32), 0, np.int32)
+    valid = pid1 > 0
+    if spec.uniform_eps is not None:
+        r_o = np.where(valid[None, :], r_o, np.float32(VACANT_X))
+    n_types = int(types.max()) + 1 if n else 1
+    # assemble in numpy, ONE device_put for the whole pytree (per-leaf
+    # transfers are individual round trips on a remote PJRT client)
+    state_np = PackedState(
+        r=r_o,
+        v=np.stack([scat(v[d]) for d in range(3)]),
+        f=np.zeros((3, npad), np.float32),
+        image=np.stack([scat(im[d], 0, np.int32) for d in range(3)]),
+        ref_r=r_o,
+        pid=np.where(valid, pid1 - 1, n).astype(np.int32),
+        typ=np.where(valid, scat(types, 0, np.int32),
+                     n_types).astype(np.int32),
+        slot_of=slot.astype(np.int32),
+        attrs={k: scat(c) for k, c in zip(["se", "hs"] + names, attr_cols)},
+        box=box,
+        potential_energy=np.float32(0.0),
+        virial=np.zeros(3, np.float32),
+    )
+    return jax.device_put(state_np), overflow
 
 
 def repack(state: PackedState, spec: PackedSpec) -> tuple[PackedState, jax.Array]:
@@ -506,7 +593,7 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
 
     fx = [jnp.zeros((cap, C), jnp.float32) for _ in range(3)]
     e_tot = jnp.float32(0.0)
-    w_tot = jnp.float32(0.0)
+    w_tot = jnp.zeros(3, jnp.float32)
     xi = [x4[d].reshape(cap, C)[None, :, :] for d in range(3)]       # (1, capi, C)
     se_i = se4.reshape(cap, C)[None, :, :]
     hs_i = hs4.reshape(cap, C)[None, :, :]
@@ -562,11 +649,13 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
             coef = jnp.where(bonded, coef_b, coef)
         if cell_mask is not None:
             e = e * cell_mask[None, None, :]
-            w_pair = coef * r2 * cell_mask[None, None, :]
+            wc = coef * cell_mask[None, None, :]
         else:
-            w_pair = coef * r2  # coef is zero outside active pairs
+            wc = coef  # coef is zero outside active pairs
         fc = [jnp.sum(coef * dx[d], axis=0) for d in range(3)]
-        return fc, jnp.sum(e), jnp.sum(w_pair)
+        # per-axis (diagonal) virial: Σ coef·dx_d² (reference NPT stress)
+        w3 = jnp.stack([jnp.sum(wc * dx[d] * dx[d]) for d in range(3)])
+        return fc, jnp.sum(e), w3
 
     for (o, ushift) in _roll_offsets(spec):
         roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
@@ -610,7 +699,7 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
         (fc3, e, w) = jax.lax.fori_loop(
             0, n_chunks, chunk,
             ([jnp.zeros((cap, C), jnp.float32) for _ in range(3)],
-             jnp.float32(0.0), jnp.float32(0.0)))
+             jnp.float32(0.0), jnp.zeros(3, jnp.float32)))
         for d in range(3):
             fx[d] = fx[d] + fc3[d]
         e_tot = e_tot + e

@@ -140,7 +140,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
     assert cap % CH == 0
 
     def chunk_body(jc, carry):
-        afx, afy, afz, ae, aw = carry
+        afx, afy, afz, ae, awx, awy, awz = carry
         j0 = pl.multiple_of(jc * CH, CH)
         xs = xj[0, pl.ds(j0, CH), :]
         ys = yj[0, pl.ds(j0, CH), :]
@@ -158,19 +158,26 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
             afy = afy + coef * dy
             afz = afz + coef * dz
             ae = ae + jnp.sum(e)
-            aw = aw + jnp.sum(coef * r2)
-        return afx, afy, afz, ae, aw
+            # per-axis (diagonal) virial components
+            awx = awx + jnp.sum(coef * dx * dx)
+            awy = awy + jnp.sum(coef * dy * dy)
+            awz = awz + jnp.sum(coef * dz * dz)
+        return afx, afy, afz, ae, awx, awy, awz
 
-    afx, afy, afz, ae, aw = jax.lax.fori_loop(
+    afx, afy, afz, ae, awx, awy, awz = jax.lax.fori_loop(
         0, cap // CH, chunk_body,
-        (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+        (z, z, z, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+         jnp.float32(0.0)))
 
     fx[...] += afx
     fy[...] += afy
     fz[...] += afz
     # scalars can't be stored to VMEM — write a lane-masked (1, 128) row
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    ew[...] += jnp.where(lane == 0, ae, 0.0) + jnp.where(lane == 1, aw, 0.0)
+    ew[...] += (jnp.where(lane == 0, ae, 0.0)
+                + jnp.where(lane == 1, awx, 0.0)
+                + jnp.where(lane == 2, awy, 0.0)
+                + jnp.where(lane == 3, awz, 0.0))
 
 
 def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
@@ -245,5 +252,5 @@ def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     return state.replace(
         f=force,
         potential_energy=0.5 * ew[0, 0],
-        virial=0.5 * ew[0, 1],
+        virial=0.5 * ew[0, 1:4],
     )

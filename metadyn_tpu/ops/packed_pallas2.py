@@ -188,7 +188,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     assert cap % CH == 0
 
     def chunk_body(jc, carry):
-        afx, afy, afz, ae, aw = carry
+        afx, afy, afz, ae, awx, awy, awz = carry
         j0 = pl.multiple_of(jc * CH, CH)
         xs = xj[0, pl.ds(j0, CH), :]
         ys = yj[0, pl.ds(j0, CH), :]
@@ -216,12 +216,16 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
             fjz[0, j0 + k, :] = -wj * jnp.sum(tz, axis=0)
             if with_energy:
                 ae = ae + jnp.sum(e)
-                aw = aw + jnp.sum(coef * r2)
-        return afx, afy, afz, ae, aw
+                # per-axis (diagonal) virial components
+                awx = awx + jnp.sum(tx * dx)
+                awy = awy + jnp.sum(ty * dy)
+                awz = awz + jnp.sum(tz * dz)
+        return afx, afy, afz, ae, awx, awy, awz
 
-    afx, afy, afz, ae, aw = jax.lax.fori_loop(
+    afx, afy, afz, ae, awx, awy, awz = jax.lax.fori_loop(
         0, cap // CH, chunk_body,
-        (z, z, z, jnp.float32(0.0), jnp.float32(0.0)))
+        (z, z, z, jnp.float32(0.0), jnp.float32(0.0), jnp.float32(0.0),
+         jnp.float32(0.0)))
 
     fx[...] += afx
     fy[...] += afy
@@ -229,7 +233,9 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     if with_energy:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         ew[...] += (jnp.where(lane == 0, we * ae, 0.0)
-                    + jnp.where(lane == 1, we * aw, 0.0))
+                    + jnp.where(lane == 1, we * awx, 0.0)
+                    + jnp.where(lane == 2, we * awy, 0.0)
+                    + jnp.where(lane == 3, we * awz, 0.0))
 
 
 def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
@@ -338,7 +344,7 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
         return state.replace(
             f=jnp.stack(comps),
             potential_energy=ew[0, 0],
-            virial=ew[0, 1],
+            virial=ew[0, 1:4],
         )
     # energy skipped for inner MD steps — refreshed at stride boundaries
     return state.replace(f=jnp.stack(comps))

@@ -141,7 +141,7 @@ def soft_kernel(r2: jax.Array, ti: jax.Array, tj: jax.Array, p: PairParams):
 class PairForceResult(NamedTuple):
     energy: jax.Array   # () total potential energy
     force: jax.Array    # (N, 3)
-    virial: jax.Array   # () scalar virial  Σ_{i<j} f_ij · r_ij
+    virial: jax.Array   # (3,) diagonal virial  Σ_{i<j} f_ij,d · r_ij,d
 
 
 def all_pairs_force(
@@ -179,10 +179,11 @@ def all_pairs_force(
         e = jnp.where(valid, e, 0.0)
         coef = jnp.where(valid, coef, 0.0)
         f = jnp.sum(coef[:, :, None] * dr, axis=1)          # (B, 3)
-        w = jnp.sum(coef * r2)                              # f_ij · r_ij summed
+        w = jnp.sum(coef[:, :, None] * dr * dr, axis=(0, 1))  # (3,) per-axis
         return jnp.sum(e), f, w
 
     e_b, f_b, w_b = jax.lax.map(block, jnp.arange(n_blocks))
     force = f_b.reshape(-1, 3)[:n]
     # double counting: each unordered pair appears twice in the full sum
-    return PairForceResult(0.5 * jnp.sum(e_b), force, 0.5 * jnp.sum(w_b))
+    return PairForceResult(0.5 * jnp.sum(e_b), force,
+                           0.5 * jnp.sum(w_b, axis=0))

@@ -180,9 +180,22 @@ def test_mesh_bias_virial_fd_oracle():
     h = 1e-3
     dE = (E(1 + h) - E(1 - h)) / (2 * h)
     st = make_state(pos.astype(np.float32), Box.cubic(L))
-    W = float(cv.bias_virial(st, system, jnp.float32(dVds)))
+    W3 = np.asarray(cv.bias_virial(st, system, jnp.float32(dVds)))
+    W = float(W3.sum())   # trace = uniform-scaling virial
     np.testing.assert_allclose(W, -dE, rtol=2e-2)
     assert abs(W) > 1e-3  # nontrivial
+
+    # per-axis oracle: strain ONE axis, W_d == −dE/dε_d (VERDICT r2 #6)
+    def E_axis(lam, d):
+        sc = np.ones(3)
+        sc[d] = lam
+        st2 = make_state((pos * sc).astype(np.float32),
+                         Box(L=jnp.asarray([L, L, L]) * jnp.asarray(sc)))
+        return dVds * float(cv.value(st2, system))
+
+    for d in range(3):
+        dEd = (E_axis(1 + h, d) - E_axis(1 - h, d)) / (2 * h)
+        np.testing.assert_allclose(W3[d], -dEd, rtol=3e-2, atol=1e-4)
 
 
 def test_msd_bias_virial_fd_oracle():
@@ -204,7 +217,7 @@ def test_msd_bias_virial_fd_oracle():
     h = 1e-3
     dE = (E(1 + h) - E(1 - h)) / (2 * h)
     st = make_state(pos.astype(np.float32), Box.cubic(L))
-    W = float(cv.bias_virial(st, system, jnp.float32(dVds)))
+    W = float(np.asarray(cv.bias_virial(st, system, jnp.float32(dVds))).sum())
     np.testing.assert_allclose(W, -dE, rtol=2e-2)
 
 

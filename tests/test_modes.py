@@ -207,7 +207,8 @@ def test_npt_with_mesh_bias_pressure_consistent(key):
         ps.append(float(pressure(state, system)))
         vols.append(float(state.box.volume))
         s_val = cv.value(state, system)
-        wb.append(float(cv.bias_virial(state, system, jnp.float32(slope))))
+        wb.append(float(np.asarray(
+            cv.bias_virial(state, system, jnp.float32(slope))).sum()))
     p_mean = np.mean(ps)
     # full internal pressure (incl. bias virial, which is inside
     # state.virial via make_biased_force) must track the barostat target

@@ -42,7 +42,7 @@ def test_packed_force_matches_all_pairs():
     np.testing.assert_allclose(float(st.potential_energy), float(ref.energy),
                                rtol=1e-4)
     np.testing.assert_allclose(f_p, np.asarray(ref.force), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(float(st.virial), float(ref.virial), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(st.virial), np.asarray(ref.virial), rtol=1e-4)
 
 
 def test_packed_force_random_config():
@@ -105,7 +105,7 @@ def test_packed_pallas_interpret_matches_xla():
                                    float(b.potential_energy), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
                                    rtol=1e-4, atol=1e-4)
-        np.testing.assert_allclose(float(a.virial), float(b.virial), rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(a.virial), np.asarray(b.virial), rtol=1e-4)
     finally:
         pp.pl.pallas_call = orig
 
@@ -151,7 +151,7 @@ def test_packed_pallas2_interpret_matches_xla():
                                    float(b.potential_energy), rtol=1e-4)
         np.testing.assert_allclose(np.asarray(a.f), np.asarray(b.f),
                                    rtol=1e-3, atol=1e-3)
-        np.testing.assert_allclose(float(a.virial), float(b.virial), rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(a.virial), np.asarray(b.virial), rtol=1e-3)
         # force-only mode: same forces, energy skipped
         c = pp2.packed_lj_force_pallas2(st, spec, with_energy=False)
         np.testing.assert_allclose(np.asarray(b.f), np.asarray(c.f),
@@ -459,7 +459,7 @@ def test_packed_pallas2_uniform_eps_sentinel_matches_general():
     np.testing.assert_allclose(fa, fb, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(float(a.potential_energy),
                                float(b.potential_energy), rtol=1e-5)
-    np.testing.assert_allclose(float(a.virial), float(b.virial), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.virial), np.asarray(b.virial), rtol=1e-5)
 
 
 def test_packed_uniform_eps_md_block():
@@ -539,5 +539,117 @@ def test_packed_force_j_chunking_matches_full():
                                    rtol=5e-5, atol=2e-2)
         np.testing.assert_allclose(float(ch.potential_energy),
                                    float(full.potential_energy), rtol=1e-6)
-        np.testing.assert_allclose(float(ch.virial), float(full.virial),
+        np.testing.assert_allclose(np.asarray(ch.virial), np.asarray(full.virial),
                                    rtol=1e-6)
+
+
+def test_packed_npt_scr_targets_pressure():
+    """NPT on the packed hot path (VERDICT r2 missing #4): the SCR
+    barostat driven by the per-step packed virial equilibrates the LJ
+    liquid at the target pressure; slot<->cell assignment survives the
+    rescaling (fractional mapping)."""
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.integrate.packed import make_packed_npt_scr_step
+
+    kT, P = 1.2, 1.0
+    a = 1.75
+    pos = fcc_lattice(4, a)
+    n = pos.shape[0]
+    L = 4 * a
+    box = Box.cubic(L)
+    rng = np.random.default_rng(0)
+    vel = rng.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    # headroom: generous skin so the static cell grid tolerates box
+    # breathing (cell width stays >= r_list under modest compression)
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.3, cap=24)
+    engine = PackedEngine(spec, rebuild_every=5, use_pallas=False,
+                          with_energy=True)
+    st, ovf = engine.pack_state(pos, box, jnp.zeros(n, jnp.int32),
+                                eps_i=jnp.ones(n), sigma_i=jnp.ones(n),
+                                vel=vel)
+    assert not bool(ovf)
+    st, aux = engine.init(st)
+    step = make_packed_npt_scr_step(
+        lambda s: engine.force_into(s, None), spec,
+        dt=0.004, kT=kT, pressure=P, gamma=2.0, tau_p=1.0)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def run(st, aux, key, nb):
+        def block(c, b):
+            s2, a2 = engine.rebuild(*c)
+            def body(s, i):
+                return step(s, jax.random.fold_in(key, b * 5 + i)), None
+            s2, _ = jax.lax.scan(body, s2, jnp.arange(5))
+            return (s2, a2), None
+        return jax.lax.scan(block, (st, aux), jnp.arange(nb))[0]
+
+    st, aux = run(st, aux, jax.random.PRNGKey(1), 300)   # 1500 equil steps
+    assert not bool(aux.overflow)
+    ps, vols = [], []
+    for i in range(8):
+        st, aux = run(st, aux, jax.random.PRNGKey(50 + i), 25)
+        valid = (np.asarray(st.pid) < n).astype(np.float32)
+        ke2 = float(np.sum(np.asarray(st.v) ** 2 * valid[None, :]))
+        p = (ke2 / 3.0 + float(np.asarray(st.virial).sum()) / 3.0) \
+            / float(np.asarray(st.box.volume))
+        ps.append(p)
+        vols.append(float(np.asarray(st.box.volume)))
+    p_mean = np.mean(ps)
+    assert abs(p_mean - P) < 0.45, (p_mean, ps)
+    assert np.std(vols) > 0      # box actually breathes
+    assert not bool(aux.overflow)
+
+
+def test_packed_box_shape_metadynamics_smoke():
+    """Box-shape metadynamics END-TO-END on the packed engine (VERDICT
+    r2 missing #4): aspect-ratio CV hills coupled to the box DOF inside
+    the jitted chunk, anisotropic SCR with the TRUE per-axis packed
+    virial."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.integrate.packed import make_packed_npt_scr_step
+    from metadyn_tpu.cv.aspect_ratio import AspectRatio, box_bias_fn_for
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+
+    kT, P = 1.0, 0.5
+    a = 1.8
+    pos = fcc_lattice(4, a)
+    n = pos.shape[0]
+    L = 4 * a
+    rng = np.random.default_rng(3)
+    vel = rng.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.4, cap=32)
+    engine = PackedEngine(spec, rebuild_every=5, use_pallas=False,
+                          with_energy=True)
+    st, ovf = engine.pack_state(pos, Box.cubic(L), jnp.zeros(n, jnp.int32),
+                                eps_i=jnp.ones(n), sigma_i=jnp.ones(n),
+                                vel=vel)
+    assert not bool(ovf)
+    cv = AspectRatio()
+
+    def factory(f, bias):
+        return make_packed_npt_scr_step(
+            f, spec, dt=0.004, kT=kT, pressure=P, gamma=2.0, tau_p=1.0,
+            anisotropic=True, box_bias_fn=box_bias_fn_for(cv, bias))
+
+    sampler = MetadSampler(
+        make_system(n), st, engine, cvs=[cv],
+        grid_spec=GridSpec.create([0.6], [1.6], [41], [0.03]),
+        hills=HillSpec.create(W=0.3, stride=50, mode=WELL_TEMPERED,
+                              deltaT=4.0),
+        integrator_factory=factory, seed=0, chunks_per_block=2)
+    hist = sampler.run(400)
+    m = hist[-1]
+    assert np.isfinite(m["potential_energy"]).all()
+    assert not bool(m["nlist_overflow"])
+    assert int(sampler.bias.n_hills) == 8
+    L3 = np.asarray(sampler.state.box.L)
+    assert np.all(np.isfinite(L3)) and np.all(L3 > 0)
+    s = float(L3[0] / L3[1])
+    assert 0.5 < s < 2.0
