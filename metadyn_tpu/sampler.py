@@ -98,7 +98,7 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
     the vjp is skipped entirely — one fused elementwise pass per CV,
     oracle-tested against the vjp path."""
     analytic = all(hasattr(cv, "accum_bias_force") for cv in cvs)
-    # CVs with explicit box dependence supply a scalar bias virial
+    # CVs with explicit box dependence supply a per-axis (3,) bias virial
     # (W = −dE_bias/dλ under uniform scaling) — e.g. the mesh CV's k-space
     # sum (SURVEY.md §3.3) and the MSD CV.  Scale-invariant CVs (lamellar:
     # k·r is a pure fractional coordinate; Steinhardt: bond directions)
@@ -114,7 +114,28 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
             w = w + cv.bias_virial(state, system, dVds[i])
         return state.replace(virial=w)
 
+    # fused roll-sweep path: when EVERY CV implements the pair-sweep
+    # protocol (packed order CVs), ALL values come from ONE (cap,cap,C)
+    # traversal and ALL bias forces from ONE more, sharing the rolled
+    # partner stacks — Config 3 ran 4-5 traversals per step before
+    # (VERDICT r2 weak #2)
+    fused = (len(cvs) > 0 and hasattr(engine, "spec")
+             and all(hasattr(cv, "pair_value_terms") for cv in cvs))
+    if fused:
+        from .cv.packed_order import make_fused_order_force
+        fused_values, fused_force = make_fused_order_force(
+            list(cvs), engine.spec)
+
     def force(state, aux, bias):
+        if fused:
+            s, ctx = fused_values(state)
+            _, dVds = bias_value_and_grad(bias, s)
+            if walls is not None:
+                _, gw = walls.energy_and_grad(s)
+                dVds = dVds + gw
+            g = fused_force(state, ctx, dVds)
+            return add_bias_virial(
+                engine.force_into(state, aux, extra_force=g), dVds)
         if analytic:
             s = cv_stack(cvs, state, system)
             _, dVds = bias_value_and_grad(bias, s)
