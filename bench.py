@@ -95,6 +95,7 @@ def generate_snapshot():
 
 
 def main():
+    t00 = time.time()
     if SNAP.exists():
         d = np.load(SNAP)
         liq_pos, liq_vel, L = d["pos"], d["vel"], float(d["L"])
@@ -121,13 +122,19 @@ def main():
     cv1 = PackedLamellar.create([[0, 0, 3]], n_real=n, name="a")
     cv2 = PackedLamellar.create([[0, 3, 0]], n_real=n, name="b")
     amps = np.ones(n, np.float32)
+    # numpy inputs: every eager jnp constructor is a remote-compile
+    # round-trip on the axon tunnel (~10 s each, measured round 3)
     state, overflow = engine.pack_state(
-        liq_pos, box, jnp.zeros(n, jnp.int32),
-        eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=liq_vel,
+        liq_pos, box, np.zeros(n, np.int32),
+        eps_i=np.ones(n, np.float32), sigma_i=np.ones(n, np.float32),
+        vel=liq_vel,
         extra_attrs={cv1.attr_name: amps, cv2.attr_name: amps},
     )
     assert not bool(overflow), "cell capacity overflow at production pack"
 
+    import os as _os
+    if _os.environ.get("BENCH_DEBUG"):
+        print(f"[t] packed +{time.time()-t00:.1f}s", file=sys.stderr)
     stride = 500
     gspec = GridSpec.create([-0.06, -0.06], [0.06, 0.06], [64, 64],
                             [0.004, 0.004])
@@ -146,8 +153,15 @@ def main():
         walls=WallSpec.at_grid_edges(gspec, k=2000.0),
     )
 
+    import os
+    t_dbg = time.time()
+    dbg = os.environ.get("BENCH_DEBUG")
+    if dbg:
+        print(f"[t] sampler built +{t_dbg-t00:.1f}s", file=sys.stderr)
     # warm-up: one block — compiles the fused chunk and settles the caches
     sampler.run(stride * 8)
+    if dbg:
+        print(f"[t] warmup done +{time.time()-t_dbg:.1f}s", file=sys.stderr)
     # measure
     n_meas = stride * 8
     t0 = time.time()

@@ -72,9 +72,16 @@ class PackedEngine:
     # --- construction -----------------------------------------------------
     def pack_state(self, pos, box: Box, types, eps_i, sigma_i, vel=None,
                    image=None, extra_attrs=None):
-        """Initial (sorted) pack from particle-order arrays."""
-        state, overflow = pack(pos, box, self.spec, types, eps_i, sigma_i,
-                               vel=vel, image=image, extra_attrs=extra_attrs)
+        """Initial (sorted) pack from particle-order arrays — on the
+        HOST (ops.packed.pack_host): the traced pack's argsort costs a
+        ~400 s XLA TPU compile at 64k (measured round 3 on the axon
+        remote), while the one-time host pack is milliseconds and
+        compile-free.  The sort-free incremental repack handles all
+        subsequent on-device migrations."""
+        from ..ops.packed import pack_host
+        state, overflow = pack_host(pos, box, self.spec, types, eps_i,
+                                    sigma_i, vel=vel, image=image,
+                                    extra_attrs=extra_attrs)
         return state, overflow
 
     # --- protocol ---------------------------------------------------------
