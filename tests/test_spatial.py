@@ -49,7 +49,7 @@ def test_sharded_force_matches_single_device(n_dev):
                                rtol=1e-5, atol=1e-4)
     np.testing.assert_allclose(float(out.potential_energy),
                                float(ref.potential_energy), rtol=1e-5)
-    np.testing.assert_allclose(float(out.virial), float(ref.virial),
+    np.testing.assert_allclose(np.asarray(out.virial), np.asarray(ref.virial),
                                rtol=1e-5)
 
 
@@ -85,25 +85,207 @@ def test_sharded_force_seam_pairs():
                                float(ref.potential_energy), rtol=1e-5)
 
 
-def test_mesh_cv_sharded_fft_matches():
-    """The S(k) mesh CV under GSPMD sharding (particles sharded over
-    devices, fftn parallelized by XLA-inserted collectives) == the
-    single-device value (SURVEY.md §2b 'sharded FFT' row)."""
-    from metadyn_tpu.cv.mesh import MeshOrderParameter
-    from metadyn_tpu.core.state import make_state, make_system
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_sharded_repack_matches_single_device(n_dev):
+    """The sharded migration (ghost-plane ownership handoff) produces a
+    BIT-IDENTICAL slot assignment to the single-device incremental
+    repack: same ranking order, same seam wrap arithmetic, same images
+    (VERDICT r2 missing #1 — migration without a global repack)."""
+    from metadyn_tpu.ops.packed import repack_incremental
+    from metadyn_tpu.parallel.spatial import make_sharded_repack
 
-    rng = np.random.default_rng(1)
-    n, L = 4096, 20.0
-    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    L = 8 * 3.0
+    n = 3000
+    pos = _liquid(n, L, 3)
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False)
+    rng = np.random.default_rng(7)
+    vel = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n), vel=vel)
+    assert not bool(ovf)
+    # displace by up to ±1.0 (< one 3.0-wide cell): particles cross cell,
+    # shard, and periodic-seam boundaries
+    disp = jnp.asarray(rng.uniform(-1.0, 1.0, (3, st.n_pad)), jnp.float32)
+    valid = (st.pid < n)[None, :]
+    st = st.replace(r=jnp.where(valid, st.r + disp, st.r))
+
+    ref, bad_ref = repack_incremental(st, spec)
+    assert not bool(bad_ref)
+
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("space",))
+    out, bad = jax.jit(make_sharded_repack(spec, mesh))(st)
+    assert not bool(bad)
+
+    for name in ("r", "v", "f", "image", "pid", "typ", "slot_of"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out, name)), np.asarray(getattr(ref, name)),
+            err_msg=name)
+    for k in ref.attrs:
+        np.testing.assert_array_equal(np.asarray(out.attrs[k]),
+                                      np.asarray(ref.attrs[k]), err_msg=k)
+
+
+def test_sharded_biased_md_steps_match_single_device():
+    """Full biased MD under the "space" axis — integrate + ghost
+    exchange + migration + FENE bonds + CV reduction + WT hill deposit —
+    matches the single-device MetadSampler trajectory (VERDICT r2
+    missing #1: the reference's whole DD step loop, SURVEY.md §3.1)."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.ops.packed import bond_partner_attrs, unpack_positions
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+
+    # dimer lattice: x-oriented LJ+FENE dimers on a grid — no overlaps,
+    # some dimers straddle shard boundaries and the periodic seam
+    L = 6 * 3.0
+    g = 7
+    sp = L / g
+    sites = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3) * sp - L / 2 + 0.6
+    rng = np.random.default_rng(0)
+    sites = sites + rng.uniform(-0.1, 0.1, sites.shape)
+    pos = np.concatenate([sites, sites + [0.97, 0.0, 0.0]])
+    n = pos.shape[0]
+    bonds = np.stack([np.arange(len(sites)),
+                      np.arange(len(sites)) + len(sites)], axis=1)
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False, fene_k=30.0, fene_r0=1.5)
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    amps = np.ones(n, np.float32)
+
+    def build(engine):
+        cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="lam")
+        extra = {cv.attr_name: amps, **bond_partner_attrs(bonds, n)}
+        state, ovf = engine.pack_state(
+            pos, box, jnp.zeros(n, jnp.int32), eps_i=jnp.ones(n),
+            sigma_i=jnp.ones(n), vel=jnp.asarray(vel), extra_attrs=extra)
+        assert not bool(ovf)
+        return MetadSampler(
+            make_system(n), state, engine, cvs=[cv],
+            grid_spec=GridSpec.create([-0.5], [0.5], [51], [0.02]),
+            hills=HillSpec.create(W=0.5, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.002, kT=1.0, gamma=1.0),
+            seed=0, chunks_per_block=2)
+
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    s_dd = build(SpatialPackedEngine(spec, mesh, rebuild_every=5))
+
+    h_ref = s_ref.run(100)
+    h_dd = s_dd.run(100)
+    m_ref, m_dd = h_ref[-1], h_dd[-1]
+    assert not bool(m_dd["nlist_overflow"])
+    # deposits happened and agree
+    assert int(s_dd.bias.n_hills) == int(s_ref.bias.n_hills) == 4
+    np.testing.assert_allclose(np.asarray(s_dd.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V),
+                               rtol=1e-4, atol=1e-5)
+    # trajectories agree (f32 reduction-order noise only)
+    p_ref = np.asarray(unpack_positions(s_ref.state, spec))
+    p_dd = np.asarray(unpack_positions(s_dd.state, spec))
+    np.testing.assert_allclose(p_dd, p_ref, rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(float(m_dd["potential_energy"]),
+                               float(m_ref["potential_energy"]), rtol=1e-4)
+
+
+def test_sharded_force_with_bonds_matches():
+    """Ghost planes carry pids + FENE partner attrs: cross-shard bonds
+    get the bonded interaction, not the pair potential."""
+    from metadyn_tpu.ops.packed import bond_partner_attrs
+
+    L = 8 * 3.0
+    g = 8
+    sp_ = L / g
+    sites = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3) * sp_ - L / 2 + 0.4
+    pos = np.concatenate([sites, sites + [1.3, 0.0, 0.0]])
+    n = pos.shape[0]
+    bonds = np.stack([np.arange(len(sites)),
+                      np.arange(len(sites)) + len(sites)], axis=1)
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False, fene_k=30.0, fene_r0=1.5)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs=bond_partner_attrs(bonds, n))
+    assert not bool(ovf)
+    ref = packed_lj_force(st, spec)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("space",))
+    out = jax.jit(make_sharded_lj_force(spec, mesh))(st)
+    np.testing.assert_allclose(np.asarray(out.f), np.asarray(ref.f),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(float(out.potential_energy),
+                               float(ref.potential_energy), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.virial), np.asarray(ref.virial),
+                               rtol=1e-5)
+
+
+def test_mesh_cv_distributed_fft():
+    """The TRUE distributed mesh FFT (VERDICT r2 missing #2): ρ assigned
+    locally per x-slab with halo-column folds, slab FFT with an
+    all-to-all transpose — value, vjp forces, and k-space virial match
+    the single-device PackedMesh, and the HLO proves the mesh is
+    genuinely partitioned (local-shape FFT + all-to-all collective), not
+    replicated."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed import PackedMesh
+    from metadyn_tpu.parallel.mesh import ShardedPackedMesh
+
+    L = 8 * 3.0
+    n = 3000
+    pos = _liquid(n, L, 11)
+    box = Box.cubic(L)
     system = make_system(n)
-    cv = MeshOrderParameter.create((32, 32, 32), L, mode=[1.0],
-                                   k0=2.0 * np.pi * 4 / L, width=0.5)
-    state = make_state(pos, Box.cubic(L))
-    v_ref = float(cv.value(state, system))
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False)
+    k0 = 2.0 * np.pi * 4 / L
+    ref_cv = PackedMesh.create((32, 32, 32), L, n_real=n, k0=k0, width=0.5)
+    amps = np.ones(n, np.float32)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs={ref_cv.attr_name: amps})
+    assert not bool(ovf)
+    # drift particles a little so halo columns are exercised
+    rng = np.random.default_rng(5)
+    disp = jnp.asarray(rng.uniform(-0.2, 0.2, (3, st.n_pad)), jnp.float32)
+    st = st.replace(r=jnp.where((st.pid < n)[None, :], st.r + disp, st.r))
 
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("space",))
-    sh = NamedSharding(mesh, P("space"))
-    pos_sharded = jax.device_put(jnp.asarray(pos), sh)
-    state_sh = state.replace(pos=pos_sharded)
-    v_sh = float(jax.jit(lambda st: cv.value(st, system))(state_sh))
-    np.testing.assert_allclose(v_sh, v_ref, rtol=1e-5)
+    dd_cv = ShardedPackedMesh.create((32, 32, 32), spec, mesh, n_real=n,
+                                     k0=k0, width=0.5, box_L=L)
+
+    v_ref = float(ref_cv.value(st, system))
+    val_fn = jax.jit(lambda s: dd_cv.value(s, system))
+    v_dd = float(val_fn(st))
+    np.testing.assert_allclose(v_dd, v_ref, rtol=2e-4)
+
+    # vjp forces (the bias-force path) agree
+    g_ref = jax.grad(lambda r: ref_cv.value(st.replace(r=r), system))(st.r)
+    g_dd = jax.jit(jax.grad(
+        lambda r: dd_cv.value(st.replace(r=r), system)))(st.r)
+    np.testing.assert_allclose(np.asarray(g_dd), np.asarray(g_ref),
+                               rtol=2e-2, atol=1e-5)
+
+    # per-axis k-space virial agrees
+    w_ref = np.asarray(ref_cv.bias_virial(st, system, jnp.float32(1.3)))
+    w_dd = np.asarray(jax.jit(
+        lambda s: dd_cv.bias_virial(s, system, jnp.float32(1.3)))(st))
+    np.testing.assert_allclose(w_dd, w_ref, rtol=2e-4, atol=1e-6)
+
+    # sharding introspection: the lowered HLO must contain the slab-local
+    # FFT shape (4 x-columns of 32², not 32³) and the all-to-all transpose
+    hlo = val_fn.lower(st).as_text()
+    assert "all_to_all" in hlo
+    assert "manual_computation" in hlo          # shard_map island present
+    assert "4x32x32" in hlo, "FFT operates on the full mesh, not a slab"
