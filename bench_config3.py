@@ -6,7 +6,11 @@ grid — reported alongside bench.py's headline number (VERDICT r1 item 10).
 The order-CV sweeps dominate: per step the bias force evaluates both CVs
 and their analytic gradients over the cell-pair structure (Newton-halved
 sweeps + closed-form dY_lm contraction; see cv/packed_order.py).  History:
-1.4M (vjp path, r1) → 4.9M particle-steps/s/chip (analytic two-pass).
+1.4M (vjp path, r1) → 4.9M (analytic two-pass, r2).  The
+neighbor-table path (ops/neighbor_table) was measured SLOWER here —
+XLA TPU gather does ~0.5 G random accesses/s, so the (K, Npad) gather
+costs ~19 ms vs the 5.6 ms masked roll traversal; the hot path stays
+on the roll sweep + Pallas order kernel.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is against the same 50M north star for context (the north
@@ -61,8 +65,9 @@ def main():
 
     nn = a / np.sqrt(2)
     q6 = PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6")
-    co = PackedCoordination(spec=spec, r0=nn * 1.35, name="coord")
-    grid = GridSpec.create([0.0, 6.0], [0.7, 18.0], [48, 48], [0.015, 0.25])
+    co = PackedCoordination(spec=spec, r0=nn * 1.35, name="coord",
+                            r_cut=nn * 1.35 * 1.5)
+    grid = GridSpec.create([0.0, 4.0], [0.7, 28.0], [48, 48], [0.015, 0.5])
     stride = 100
     sampler = MetadSampler(
         system, state, engine, cvs=[q6, co], grid_spec=grid,

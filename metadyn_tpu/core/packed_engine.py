@@ -29,6 +29,9 @@ from ..ops.packed_pallas2 import packed_lj_force_pallas2
 class PackedAux:
     overflow: jax.Array = struct.field(default_factory=lambda: jnp.asarray(False))
     stale: jax.Array = struct.field(default_factory=lambda: jnp.asarray(False))
+    # slot neighbor table for the order-CV hot path (ops/neighbor_table);
+    # None unless the engine was built with nbr_table=(r_nb, K)
+    nbr: Optional[jax.Array] = None
 
 
 class PackedEngine:
@@ -44,13 +47,24 @@ class PackedEngine:
 
     def __init__(self, spec: PackedSpec, rebuild_every: int = 1,
                  use_pallas: Optional[bool] = None, mass: float = 1.0,
-                 with_energy: bool = False):
+                 with_energy: bool = False,
+                 nbr_table: Optional[tuple] = None):
         """``with_energy=True`` makes EVERY force call accumulate
         energy/virial (default: inner MD steps skip them, refreshed at
         stride boundaries).  Required when the potential energy itself is
         a CV — the well-tempered-ensemble mode (EnergyCV / reference
-        ``WellTemperedEnsemble``) reads state.potential_energy per step."""
+        ``WellTemperedEnsemble``) reads state.potential_energy per step.
+
+        ``nbr_table=(r_nb, K)`` maintains a (K, Npad) slot neighbor
+        table (rebuilt at every repack, see ops/neighbor_table) that the
+        sampler's order-CV hot path consumes instead of the masked roll
+        sweep.  ``r_nb`` must bound every order-CV cutoff + skin (the
+        sampler asserts) and fit the 27-cell stencil (asserted here)."""
         self.spec = spec
+        self.nbr_table = nbr_table
+        if nbr_table is not None:
+            assert nbr_table[1] % 8 == 0, (
+                "K should be sublane-aligned (multiple of 8)")
         self.rebuild_every = rebuild_every
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
@@ -87,10 +101,44 @@ class PackedEngine:
     # --- protocol ---------------------------------------------------------
     def init(self, state: PackedState):
         aux = PackedAux()
+        if self.nbr_table is not None:
+            from ..ops.neighbor_table import build_slot_neighbor_table
+            r_nb, K = self.nbr_table
+            # stencil completeness: every pair within r_nb must be inside
+            # the 27-cell neighborhood, i.e. r_nb <= min cell width.
+            # (NPT compression shrinks the widths — size with headroom.)
+            L = np.asarray(jax.device_get(state.box.L), np.float64)
+            min_width = min(float(l) / c
+                            for l, c in zip(L, self.spec.cells_per_dim))
+            assert r_nb <= min_width + 1e-6, (
+                f"nbr_table radius {r_nb} exceeds the stencil guarantee "
+                f"(min cell width {min_width:.3f})")
+            tbl, ovf = build_slot_neighbor_table(state, self.spec, r_nb, K)
+            aux = PackedAux(overflow=ovf, nbr=tbl)
         return self.force_into(state, aux), aux
 
     def rebuild(self, state: PackedState, aux: PackedAux):
         need = needs_repack(state, self.spec)
+
+        if self.nbr_table is not None:
+            from ..ops.neighbor_table import build_slot_neighbor_table
+            r_nb, K = self.nbr_table
+
+            def do_t(st):
+                st2, bad = repack_incremental(st, self.spec)
+                # slots moved — the table's indices are void; rebuild it
+                # (radius r_nb >= cv cutoff + skin keeps it complete
+                # until the next half-skin trigger)
+                tbl, ovf = build_slot_neighbor_table(st2, self.spec,
+                                                     r_nb, K)
+                return st2, bad | ovf, tbl
+
+            def dont_t(st):
+                return st, st.pid[0] < 0, aux.nbr
+
+            state, bad, tbl = jax.lax.cond(need, do_t, dont_t, state)
+            return state, PackedAux(overflow=aux.overflow | bad,
+                                    stale=aux.stale, nbr=tbl)
 
         def do(st):
             return repack_incremental(st, self.spec)

@@ -278,11 +278,19 @@ class PackedCoordination:
         s = (1/N) Σ_pairs [1 − (r/r0)^6] / [1 − (r/r0)^12]
 
     — the standard "density/structure" companion CV for nucleation.
+
+    ``r_cut=None`` (default) truncates at the cell stencil reach (legacy
+    behavior; value depends weakly on the cell decomposition).  A finite
+    ``r_cut`` applies the PLUMED-style STRETCH: s̃ = (s − s(r_cut)) /
+    (1 − s(r_cut)) for r < r_cut, 0 beyond — continuous at the cutoff
+    and decomposition-independent.  Required for the neighbor-table hot
+    path (the table radius must bound every CV cutoff).
     """
 
     spec: PackedSpec
     r0: float = struct.field(pytree_node=False, default=1.5)
     name: str = struct.field(pytree_node=False, default="coord")
+    r_cut: float | None = struct.field(pytree_node=False, default=None)
 
     def __post_init__(self):
         # the switching tail is negligible past ~1.5·r0; require coverage
@@ -293,12 +301,21 @@ class PackedCoordination:
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
+    def _stretch(self):
+        """(s_c, scale): switching value at the cutoff and the stretch
+        factor 1/(1 − s_c) — static Python floats."""
+        sc = 1.0 / (1.0 + (self.r_cut / self.r0) ** 6)
+        return sc, 1.0 / (1.0 - sc)
+
     def pair_value_terms(self, dx, dy, dz, r2, w):
         # [1−(r/r0)^6]/[1−(r/r0)^12] ≡ 1/(1+(r/r0)^6): regular form —
         # the quotient form NaN-poisons autodiff near r = r0
         r02 = self.r0 ** 2
         y3 = (r2 / r02) ** 3          # (r/r0)^6
         s = 1.0 / (1.0 + y3)
+        if self.r_cut is not None:
+            sc, scale = self._stretch()
+            s = jnp.where(r2 < self.r_cut ** 2, (s - sc) * scale, 0.0)
         return (jnp.sum(w * s),)
 
     def finalize_value(self, terms) -> jax.Array:
@@ -315,11 +332,17 @@ class PackedCoordination:
 
     def pair_grad_terms(self, dx, dy, dz, r2, aux):
         """φ(d) = 1/(1+(r²/r0²)³), ∂φ/∂d = −3t²/(r0²(1+t³)²)·2d with
-        t = r²/r0²; ``aux`` carries the folded bias coefficient."""
+        t = r²/r0²; ``aux`` carries the folded bias coefficient.  With
+        ``r_cut`` the stretch multiplies the derivative by 1/(1−s_c) and
+        zeroes it past the cutoff (the stretch offset is constant)."""
         r02 = self.r0 ** 2
         t = r2 / r02
         t3 = t * t * t
         dphi_dr2 = -3.0 * t * t / (r02 * (1.0 + t3) ** 2)
+        if self.r_cut is not None:
+            _, scale = self._stretch()
+            dphi_dr2 = jnp.where(r2 < self.r_cut ** 2,
+                                 dphi_dr2 * scale, 0.0)
         c = aux * 2.0 * dphi_dr2
         return c * dx, c * dy, c * dz
 
@@ -369,5 +392,53 @@ def make_fused_order_force(cvs, spec: PackedSpec):
             return gx, gy, gz
 
         return _offset_force_sweep(state, spec, pair_grad, stacks=stacks)
+
+    return values_fn, force_fn
+
+
+def _table_pairs(state: PackedState, spec: PackedSpec, tbl):
+    """Pair geometry over the slot neighbor table (ops/neighbor_table):
+    (dx (3,K,Npad), r2 (K,Npad), w (K,Npad)) — exactly the real pairs,
+    minimum-imaged (valid for r_nb < L/2, orthorhombic)."""
+    npad = spec.n_pad
+    rp = jnp.concatenate(
+        [state.r, jnp.zeros((3, 1), state.r.dtype)], axis=1)
+    xj = rp[:, tbl]                               # (3, K, Npad)
+    dx = state.r[:, None, :] - xj
+    Lb = state.box.L[:, None, None]
+    dx = dx - Lb * jnp.round(dx / Lb)
+    r2 = dx[0] * dx[0] + dx[1] * dx[1] + dx[2] * dx[2]
+    w = (tbl < npad).astype(jnp.float32)
+    return dx, r2, w
+
+
+def make_table_order_force(cvs, spec: PackedSpec):
+    """Neighbor-table twin of :func:`make_fused_order_force` — the
+    roll-sweep masks ~96% padding at liquid density (VERDICT r3: ≈11 of
+    12.4 ms/step at Config 3); the table path gathers only real pairs.
+
+    Returns ``(values_fn, force_fn)``:
+      values_fn(state, tbl) -> (s_stack, terms)
+      force_fn(state, tbl, terms, dVds) -> (3, Npad) bias force
+    Full-table enumeration: each unordered pair appears from both sides
+    with weight 1 — the same ordered-pair totals as the Newton-halved
+    roll sweep (weight 2), and the parity factor folded by
+    ``grad_aux`` applies unchanged (each slot sums only its own side).
+    """
+    def values_fn(state, tbl):
+        dx, r2, w = _table_pairs(state, spec, tbl)
+        terms = tuple(cv.pair_value_terms(dx[0], dx[1], dx[2], r2, w)
+                      for cv in cvs)
+        s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
+        return s, terms
+
+    def force_fn(state, tbl, terms, dVds):
+        dx, r2, w = _table_pairs(state, spec, tbl)
+        gx = gy = gz = jnp.float32(0.0)
+        for i, (cv, t) in enumerate(zip(cvs, terms)):
+            aux = cv.grad_aux(t, dVds[i])
+            ax, ay, az = cv.pair_grad_terms(dx[0], dx[1], dx[2], r2, aux)
+            gx, gy, gz = gx + ax, gy + ay, gz + az
+        return jnp.stack([jnp.sum(w * g, axis=0) for g in (gx, gy, gz)])
 
     return values_fn, force_fn

@@ -121,12 +121,39 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
     # (VERDICT r2 weak #2)
     fused = (len(cvs) > 0 and hasattr(engine, "spec")
              and all(hasattr(cv, "pair_value_terms") for cv in cvs))
+    # neighbor-table path: the engine maintains a (K, Npad) slot
+    # neighbor table (PackedEngine(nbr_table=...)); the per-step sweeps
+    # then gather only real pairs instead of masking ~96% padding
+    # (VERDICT r3: the roll sweeps were ≈11 of 12.4 ms/step at Config 3)
+    table = fused and getattr(engine, "nbr_table", None) is not None
+    if table:
+        r_nb, _K = engine.nbr_table
+        for cv in cvs:
+            rc = getattr(cv, "r_cut", None)
+            assert rc is not None, (
+                f"CV {cv.name}: the neighbor-table path needs an explicit "
+                "r_cut (set PackedCoordination(r_cut=...))")
+            assert rc + engine.spec.skin <= r_nb + 1e-6, (
+                f"CV {cv.name}: r_cut {rc} + skin {engine.spec.skin} "
+                f"exceeds the table radius {r_nb}")
+        from .cv.packed_order import make_table_order_force
+        tbl_values, tbl_force = make_table_order_force(
+            list(cvs), engine.spec)
     if fused:
         from .cv.packed_order import make_fused_order_force
         fused_values, fused_force = make_fused_order_force(
             list(cvs), engine.spec)
 
     def force(state, aux, bias):
+        if table:
+            s, ctx = tbl_values(state, aux.nbr)
+            _, dVds = bias_value_and_grad(bias, s)
+            if walls is not None:
+                _, gw = walls.energy_and_grad(s)
+                dVds = dVds + gw
+            g = tbl_force(state, aux.nbr, ctx, dVds)
+            return add_bias_virial(
+                engine.force_into(state, aux, extra_force=g), dVds)
         if fused:
             s, ctx = fused_values(state)
             _, dVds = bias_value_and_grad(bias, s)

@@ -653,3 +653,106 @@ def test_packed_box_shape_metadynamics_smoke():
     assert np.all(np.isfinite(L3)) and np.all(L3 > 0)
     s = float(L3[0] / L3[1])
     assert 0.5 < s < 2.0
+
+
+def test_neighbor_table_matches_roll_sweep():
+    """Table-path order CVs (values + bias forces over the slot neighbor
+    table) == the roll-sweep path, and the table itself is complete:
+    every pair within r_nb is listed from both sides."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed_order import (
+        PackedSteinhardtQl, PackedCoordination, make_fused_order_force,
+        make_table_order_force)
+    from metadyn_tpu.ops.neighbor_table import build_slot_neighbor_table
+
+    st, spec, n = _order_cv_state(seed=11)
+    system = make_system(n)
+    nn = 1.62 / np.sqrt(2)
+    cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6"),
+           PackedCoordination(spec=spec, r0=nn * 1.35, name="co",
+                              r_cut=nn * 1.35 * 1.5)]
+    r_nb = cvs[1].r_cut + spec.skin
+    K = 96
+    tbl, ovf = build_slot_neighbor_table(st, spec, r_nb, K)
+    assert not bool(ovf)
+    tbl_np = np.asarray(tbl)
+
+    # completeness + symmetry oracle vs O(N^2) distances
+    from metadyn_tpu.ops.packed import unpack_positions
+    pos = np.asarray(unpack_positions(st, spec))
+    slot_of = np.asarray(st.slot_of)
+    L = float(st.box.L[0])
+    d = pos[:, None, :] - pos[None, :, :]
+    d -= L * np.round(d / L)
+    r2 = (d ** 2).sum(-1)
+    within = (r2 < r_nb ** 2) & ~np.eye(n, dtype=bool)
+    deg = within.sum(1)
+    listed = (tbl_np < spec.n_pad).sum(0)[slot_of]
+    np.testing.assert_array_equal(listed, deg)
+    # spot-check: every true neighbor pair is present
+    for i in np.random.default_rng(0).integers(0, n, 20):
+        js = np.where(within[i])[0]
+        got = set(tbl_np[:, slot_of[i]][tbl_np[:, slot_of[i]] < spec.n_pad])
+        assert got == set(slot_of[js])
+
+    # values match the roll path
+    vals_roll, force_roll = make_fused_order_force(cvs, spec)
+    vals_tbl, force_tbl = make_table_order_force(cvs, spec)
+    s_r, ctx_r = vals_roll(st)
+    s_t, ctx_t = vals_tbl(st, tbl)
+    np.testing.assert_allclose(np.asarray(s_t), np.asarray(s_r), rtol=2e-5)
+
+    # bias forces match the roll path
+    dVds = jnp.asarray([0.9, -1.3], jnp.float32)
+    g_r = np.asarray(force_roll(st, ctx_r, dVds))
+    g_t = np.asarray(force_tbl(st, tbl, ctx_t, dVds))
+    scale = np.abs(g_r).max()
+    np.testing.assert_allclose(g_t, g_r, rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_neighbor_table_mtd_run_with_repack():
+    """Biased MD on a table engine: migrations trigger table rebuilds
+    inside the repack cond; CV values stay consistent with the roll path
+    afterwards, nothing overflows."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.cv.packed_order import (
+        PackedSteinhardtQl, PackedCoordination)
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+
+    st, spec, n = _order_cv_state(seed=12)
+    system = make_system(n)
+    nn = 1.62 / np.sqrt(2)
+    q6 = PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6")
+    co = PackedCoordination(spec=spec, r0=nn * 1.35, name="co",
+                            r_cut=nn * 1.35 * 1.5)
+    engine = PackedEngine(spec, rebuild_every=5, use_pallas=False,
+                          nbr_table=(co.r_cut + spec.skin, 96))
+    s0 = [float(q6.value(st, system)), float(co.value(st, system))]
+    grid = GridSpec.create([0.0, 0.0], [0.7, s0[1] * 2.0], [24, 24],
+                           [0.02, s0[1] / 15])
+    sampler = MetadSampler(
+        system, st, engine, cvs=[q6, co], grid_spec=grid,
+        hills=HillSpec.create(W=0.4, stride=20, mode=WELL_TEMPERED,
+                              deltaT=5.0),
+        integrator_factory=lambda f: make_packed_langevin_step(
+            f, dt=0.004, kT=0.7, gamma=1.0),
+        seed=0, chunks_per_block=2)
+    hist = sampler.run(80)
+    m = hist[-1]
+    assert not bool(m["nlist_overflow"])
+    assert int(sampler.bias.n_hills) == 4
+    # the stride-end CV (roll path) and the table values the deposit
+    # used agree: deposits landed on-grid and finite
+    assert np.isfinite(np.asarray(m["cv"])).all()
+    assert not bool(m["cv_out_of_grid"])
+    # the current state's table value == roll value (table is fresh)
+    from metadyn_tpu.cv.packed_order import make_table_order_force
+    vt, _ = make_table_order_force([q6, co], spec)
+    s_t, _ctx = vt(sampler.state, sampler.carry.aux.nbr)
+    s_r = [float(q6.value(sampler.state, system)),
+           float(co.value(sampler.state, system))]
+    np.testing.assert_allclose(np.asarray(s_t), s_r, rtol=5e-5)
