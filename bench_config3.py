@@ -52,7 +52,8 @@ def main():
     box = Box.cubic(L)
     kT = 0.6
     spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40,
-                             shift_energy=False, uniform_sigma=1.0)
+                             shift_energy=False, uniform_sigma=1.0,
+                             uniform_eps=1.0)
     engine = PackedEngine(spec, rebuild_every=10)
     system = make_system(n)
     rng = np.random.default_rng(0)
@@ -76,7 +77,11 @@ def main():
         integrator_factory=lambda f: make_packed_langevin_step(
             f, dt=0.004, kT=kT, gamma=1.0),
         seed=0, chunks_per_block=2,
-        walls=WallSpec.at_grid_edges(grid, k=200.0))
+        walls=WallSpec.at_grid_edges(grid, k=200.0),
+        # bias-force MTS (sampler.make_stride_chunk): the global 64k-atom
+        # CVs drift negligibly over 5 steps (≪ hill σ), so the CV sweeps
+        # run once per 5 MD steps — the PLUMED MULTIPLE_TIME_STEP setting
+        bias_every=5)
 
     sampler.run(stride * 2)            # compile + settle
     n_meas = stride * 4

@@ -90,13 +90,16 @@ def cv_stack(cvs, state, system):
     return jnp.stack([cv.value(state, system) for cv in cvs])
 
 
-def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None):
-    """Engine force + metadynamics bias (+ optional CV wall).
+def make_bias_force_parts(engine, cvs, system: System,
+                          walls: WallSpec | None = None):
+    """Split the biased force into ``(eval_bias, apply_force)``:
 
-    Default path: F_bias = −(∂V/∂s)·∂s/∂r through one vjp.  When every CV
-    provides an analytic ``accum_bias_force`` (the packed hot-path CVs),
-    the vjp is skipped entirely — one fused elementwise pass per CV,
-    oracle-tested against the vjp path."""
+      eval_bias(state, aux, bias) -> (g, dVds)   # the expensive CV sweeps
+      apply_force(state, aux, g, dVds) -> state  # engine force + held g
+
+    :func:`make_biased_force` composes them per step; the multiple-time-
+    stepping chunk (``bias_every`` > 1) calls ``eval_bias`` once per
+    sub-chunk and holds ``g`` constant across the cheap inner steps."""
     analytic = all(hasattr(cv, "accum_bias_force") for cv in cvs)
     # CVs with explicit box dependence supply a per-axis (3,) bias virial
     # (W = −dE_bias/dλ under uniform scaling) — e.g. the mesh CV's k-space
@@ -144,48 +147,57 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
         fused_values, fused_force = make_fused_order_force(
             list(cvs), engine.spec)
 
-    def force(state, aux, bias):
+    def grad_with_walls(bias, s):
+        _, dVds = bias_value_and_grad(bias, s)
+        if walls is not None:
+            _, gw = walls.energy_and_grad(s)
+            dVds = dVds + gw
+        return dVds
+
+    def eval_bias(state, aux, bias):
         if table:
             s, ctx = tbl_values(state, aux.nbr)
-            _, dVds = bias_value_and_grad(bias, s)
-            if walls is not None:
-                _, gw = walls.energy_and_grad(s)
-                dVds = dVds + gw
-            g = tbl_force(state, aux.nbr, ctx, dVds)
-            return add_bias_virial(
-                engine.force_into(state, aux, extra_force=g), dVds)
+            dVds = grad_with_walls(bias, s)
+            return tbl_force(state, aux.nbr, ctx, dVds), dVds
         if fused:
             s, ctx = fused_values(state)
-            _, dVds = bias_value_and_grad(bias, s)
-            if walls is not None:
-                _, gw = walls.energy_and_grad(s)
-                dVds = dVds + gw
-            g = fused_force(state, ctx, dVds)
-            return add_bias_virial(
-                engine.force_into(state, aux, extra_force=g), dVds)
+            dVds = grad_with_walls(bias, s)
+            return fused_force(state, ctx, dVds), dVds
         if analytic:
             s = cv_stack(cvs, state, system)
-            _, dVds = bias_value_and_grad(bias, s)
-            if walls is not None:
-                _, gw = walls.energy_and_grad(s)
-                dVds = dVds + gw
+            dVds = grad_with_walls(bias, s)
             g = jnp.zeros_like(engine.positions(state))
             for i, cv in enumerate(cvs):
                 g = cv.accum_bias_force(state, system, dVds[i], g)
-            return add_bias_virial(
-                engine.force_into(state, aux, extra_force=g), dVds)
+            return g, dVds
 
         def stacked(r):
             return cv_stack(cvs, engine.with_positions(state, r), system)
 
         s, vjp = jax.vjp(stacked, engine.positions(state))
-        _, dVds = bias_value_and_grad(bias, s)
-        if walls is not None:
-            _, gw = walls.energy_and_grad(s)
-            dVds = dVds + gw
+        dVds = grad_with_walls(bias, s)
         (g,) = vjp(dVds)
+        return -g, dVds
+
+    def apply_force(state, aux, g, dVds):
         return add_bias_virial(
-            engine.force_into(state, aux, extra_force=-g), dVds)
+            engine.force_into(state, aux, extra_force=g), dVds)
+
+    return eval_bias, apply_force
+
+
+def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None):
+    """Engine force + metadynamics bias (+ optional CV wall).
+
+    Default path: F_bias = −(∂V/∂s)·∂s/∂r through one vjp.  When every CV
+    provides an analytic ``accum_bias_force`` (the packed hot-path CVs),
+    the vjp is skipped entirely — one fused elementwise pass per CV,
+    oracle-tested against the vjp path."""
+    eval_bias, apply_force = make_bias_force_parts(engine, cvs, system, walls)
+
+    def force(state, aux, bias):
+        g, dVds = eval_bias(state, aux, bias)
+        return apply_force(state, aux, g, dVds)
 
     return force
 
@@ -197,6 +209,8 @@ def make_stride_chunk(
     system: System,
     hills: HillSpec,
     integrator_factory: Callable,
+    bias_every: int = 1,
+    bias_parts=None,
 ):
     """One deposition stride: nested scan of rebuild blocks × MD steps,
     then deposit a hill — all fused into the jitted outer scan body.
@@ -204,7 +218,17 @@ def make_stride_chunk(
     ``integrator_factory`` is called with the biased force fn, or — if it
     accepts two arguments — with ``(force_fn, bias)`` so box-coupled
     integrators (NPT box-shape metadynamics, SURVEY.md §2a AspectRatio)
-    can interpolate ∂V/∂s against the live bias inside the chunk."""
+    can interpolate ∂V/∂s against the live bias inside the chunk.
+
+    ``bias_every`` > 1 enables multiple-time-stepping for the BIAS force
+    (the PLUMED ``MULTIPLE_TIME_STEP`` idea, Ferrarotti–Bottaro–Pérez-
+    Villa–Bussi JCTC 11, 139 (2015)): the CV sweeps + ∂V/∂s evaluation run
+    once per ``bias_every`` steps and the resulting bias force is HELD
+    CONSTANT over the sub-chunk (constant-hold variant — same average
+    impulse as PLUMED's ×k kick, smoother trajectories).  Valid when the
+    bias force varies slowly over ``bias_every·dt`` — the usual case, as
+    hills are deposited every ``stride`` ≫ ``bias_every`` steps.  The MD
+    (pair/bond) force stays exact every step."""
     import inspect
     # count only parameters WITHOUT defaults: a one-arg factory carrying a
     # defaulted closure param (lambda f, _c=c: ...) must not get the bias
@@ -218,6 +242,15 @@ def make_stride_chunk(
     assert hills.stride % r == 0, (
         f"stride={hills.stride} must be a multiple of rebuild_every={r}")
     n_blocks = hills.stride // r
+    if bias_every > 1:
+        assert not want_bias, (
+            "bias_every > 1 is not supported with box-coupled (two-arg) "
+            "integrator factories — the box DOF needs the live bias")
+        assert r % bias_every == 0, (
+            f"bias_every={bias_every} must divide "
+            f"min(rebuild_every, stride)={r}")
+        assert bias_parts is not None
+        eval_bias, apply_force = bias_parts
 
     def chunk(carry: SamplerCarry, _):
         bias = carry.bias
@@ -226,6 +259,26 @@ def make_stride_chunk(
             state, aux = c
             with phase("nlist_rebuild"):
                 state, aux = engine.rebuild(state, aux)
+            if bias_every > 1:
+                def sub(st, j):
+                    with phase("cv_eval"):
+                        g, dVds = eval_bias(st, aux, bias)
+                    force_fn = lambda s2: apply_force(s2, aux, g, dVds)
+                    step_fn = integrator_factory(force_fn)
+
+                    def body(s2, i):
+                        k = jax.random.fold_in(
+                            carry.key,
+                            carry.step + b * r + j * bias_every + i)
+                        return step_fn(s2, k), None
+
+                    st, _ = jax.lax.scan(body, st, jnp.arange(bias_every))
+                    return st, None
+
+                with phase("md_steps"):
+                    state, _ = jax.lax.scan(
+                        sub, state, jnp.arange(r // bias_every))
+                return (state, aux), None
             force_fn = lambda st: biased_force(st, aux, bias)
             step_fn = (integrator_factory(force_fn, bias) if want_bias
                        else integrator_factory(force_fn))
@@ -297,11 +350,16 @@ class MetadSampler:
         hill_sigma: Optional[Sequence[float]] = None,
         hill_capacity: int = 4096,
         spill_grid: Optional[GridSpec] = None,
+        bias_every: int = 1,
     ):
         """``grid_spec=None`` selects the reference's non-grid hill-list
         mode (SURVEY.md §3.1): pass ``hill_sigma`` (per-CV widths), and
         optionally ``hill_capacity`` and a coarse ``spill_grid`` that
-        absorbs hills past capacity so no bias is ever lost."""
+        absorbs hills past capacity so no bias is ever lost.
+
+        ``bias_every`` > 1 holds the bias force constant for that many MD
+        steps between CV re-evaluations (multiple-time-stepping — see
+        :func:`make_stride_chunk`); the pair/bond forces stay exact."""
         if grid_spec is not None:
             assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
         else:
@@ -315,7 +373,10 @@ class MetadSampler:
         self.hills = hills
         self.grid_spec = grid_spec
         self.walls = walls
-        self.biased_force = make_biased_force(engine, cvs, system, walls)
+        self._bias_parts = make_bias_force_parts(engine, cvs, system, walls)
+        _eval, _apply = self._bias_parts
+        self.biased_force = lambda st, aux, bias: _apply(
+            st, aux, *_eval(st, aux, bias))
         if initial_bias is not None:
             bias = initial_bias
         elif grid_spec is not None:
@@ -333,7 +394,8 @@ class MetadSampler:
             key=jax.random.PRNGKey(seed), step=jnp.int32(0),
         )
         chunk = make_stride_chunk(
-            engine, self.biased_force, cvs, system, hills, integrator_factory)
+            engine, self.biased_force, cvs, system, hills, integrator_factory,
+            bias_every=bias_every, bias_parts=self._bias_parts)
 
         def run_chunks(carry, n):
             return jax.lax.scan(chunk, carry, None, length=n)

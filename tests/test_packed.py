@@ -756,3 +756,49 @@ def test_neighbor_table_mtd_run_with_repack():
     s_r = [float(q6.value(sampler.state, system)),
            float(co.value(sampler.state, system))]
     np.testing.assert_allclose(np.asarray(s_t), s_r, rtol=5e-5)
+
+
+def test_packed_mts_bias_every_smoke():
+    """bias_every=5 on the packed order-CV path: the MTS chunk (CV sweeps
+    once per 5 steps, bias force held) runs biased MD with the same
+    deposit schedule and lands in the same macrostate as every-step."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.cv.packed_order import (
+        PackedSteinhardtQl, PackedCoordination)
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+
+    nn = 1.62 / np.sqrt(2)
+
+    def make(bias_every):
+        st, spec, n = _order_cv_state(seed=13)
+        system = make_system(n)
+        q6 = PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6")
+        co = PackedCoordination(spec=spec, r0=nn * 1.35, name="co",
+                                r_cut=nn * 1.35 * 1.5)
+        engine = PackedEngine(spec, rebuild_every=10, use_pallas=False)
+        grid = GridSpec.create([0.0, 0.0], [0.7, 30.0], [24, 24],
+                               [0.02, 0.6])
+        return MetadSampler(
+            system, st, engine, cvs=[q6, co], grid_spec=grid,
+            hills=HillSpec.create(W=0.4, stride=20, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.004, kT=0.7, gamma=1.0),
+            seed=0, chunks_per_block=2, bias_every=bias_every)
+
+    res = {}
+    for k in (1, 5):
+        s = make(k)
+        hist = s.run(100)
+        m = hist[-1]
+        assert not bool(m["nlist_overflow"])
+        assert int(s.bias.n_hills) == 5
+        assert np.isfinite(np.asarray(m["cv"])).all()
+        res[k] = np.asarray(m["cv"])
+    # same seed, slowly-varying bias force: the 100-step endpoints agree
+    # to the MTS perturbation scale (not bitwise — different force seq)
+    np.testing.assert_allclose(res[5], res[1], rtol=0.05, atol=0.05)

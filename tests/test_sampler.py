@@ -27,7 +27,8 @@ A_WELL = 2.0  # barrier height = A_WELL at x=0 vs minima at ±1
 
 
 def _double_well_sampler(tmp_hill=None, mode=WELL_TEMPERED, kT=0.6,
-                         stride=50, W=0.08, deltaT=3.0, seed=0):
+                         stride=50, W=0.08, deltaT=3.0, seed=0,
+                         bias_every=1):
     def dw(pos, state, system):
         x = pos[0, 0]
         return A_WELL * (x * x - 1.0) ** 2 + 5.0 * (pos[0, 1] ** 2 + pos[0, 2] ** 2)
@@ -45,11 +46,13 @@ def _double_well_sampler(tmp_hill=None, mode=WELL_TEMPERED, kT=0.6,
         integrator_factory=lambda f: make_langevin_step(
             f, system, dt=0.005, kT=kT, gamma=5.0),
         seed=seed, hill_file=tmp_hill, overwrite=True,
+        bias_every=bias_every,
     )
 
 
-def _dw_fes_error(kT, transient, n_seg, seg, tmp_hill=None):
-    s = _double_well_sampler(tmp_hill=tmp_hill, kT=kT, W=0.15, deltaT=6.0)
+def _dw_fes_error(kT, transient, n_seg, seg, tmp_hill=None, bias_every=1):
+    s = _double_well_sampler(tmp_hill=tmp_hill, kT=kT, W=0.15, deltaT=6.0,
+                             bias_every=bias_every)
     x = s.grid_coords(0)
     F_true = A_WELL * (x**2 - 1.0) ** 2
     s.run(transient)
@@ -81,6 +84,21 @@ def test_double_well_fes_oracle_fast(tmp_path):
     (the ≤0.1 kT claim is the slow-marked test above)."""
     kT = 0.6
     err = _dw_fes_error(kT, 200_000, 4, 50_000)
+    assert err < 0.5 * kT, err
+
+
+def test_double_well_fes_mts_bias_every():
+    """Multiple-time-stepped bias force (constant-hold MTS): the FES
+    oracle converges to the same quality as the every-step path — the
+    sampled ensemble is preserved when the bias force is held over a few
+    MD steps (PLUMED MULTIPLE_TIME_STEP; Ferrarotti et al. 2015).
+
+    Validity scale: the hold displacement must stay below the hill width
+    (here D=kT/γ=0.12 ⇒ 2 steps ≈ 0.05 ≈ σ/2; holding for 5 steps ≈ a
+    full σ measurably degrades this toy's FES — the diffusive 1-particle
+    toy is MTS's worst case, condensed-phase CVs evolve far slower)."""
+    kT = 0.6
+    err = _dw_fes_error(kT, 200_000, 4, 50_000, bias_every=2)
     assert err < 0.5 * kT, err
 
 
