@@ -72,6 +72,7 @@ class PackedEngine:
             # soft pair runs on the XLA roll path (push-off phases are
             # short; the Pallas kernels are LJ+FENE-specialized)
             use_pallas = False
+        self.use_pallas = use_pallas
         if use_pallas:
             # Newton-halved kernel; inner MD steps skip the energy/virial
             # accumulation unless with_energy

@@ -158,8 +158,18 @@ class PackedSteinhardtQl:
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
-    def pair_value_terms(self, dx, dy, dz, r2, w):
-        """Per-pair partials for the fused roll sweep: (Re S_m, Im S_m, n_b)."""
+    # --- kernel-level (flat scalar) protocol ------------------------------
+    # The Pallas order kernels (ops/packed_order_pallas.py) accumulate the
+    # per-pair partials as FLAT SCALARS in output lanes — no small-array
+    # stacking inside the kernel.  The XLA sweep entry points stack the
+    # flat tuple back into the (re, im, nb) structure.
+    @property
+    def n_value_terms(self) -> int:
+        return 2 * (self.l + 1) + 1
+
+    def pair_value_terms_flat(self, dx, dy, dz, r2, w):
+        """Per-pair partial sums as a flat tuple of scalars:
+        (Re S_0..l, Im S_0..l, n_b)."""
         coeffs = _plm_over_sinm_coeffs(self.l)
         norms = _norms(self.l)
         rcq2 = self.r_cut ** 2
@@ -178,7 +188,29 @@ class PackedSteinhardtQl:
             re.append(jnp.sum(w * norms[m] * pl_ * pr))
             im.append(jnp.sum(w * norms[m] * pl_ * pi))
             pr, pi = pr * ux - pi * uy, pr * uy + pi * ux
-        return jnp.stack(re), jnp.stack(im), jnp.sum(w)
+        return tuple(re) + tuple(im) + (jnp.sum(w),)
+
+    def terms_from_flat(self, flat):
+        k = self.l + 1
+        return (jnp.stack(flat[:k]), jnp.stack(flat[k:2 * k]), flat[2 * k])
+
+    def pair_value_terms(self, dx, dy, dz, r2, w):
+        """Per-pair partials for the fused roll sweep: (Re S_m, Im S_m, n_b)."""
+        return self.terms_from_flat(
+            self.pair_value_terms_flat(dx, dy, dz, r2, w))
+
+    @property
+    def aux_size(self) -> int:
+        return 2 * (self.l + 1)
+
+    def aux_flat(self, aux):
+        gre, gim = aux
+        k = self.l + 1
+        return tuple(gre[m] for m in range(k)) + tuple(gim[m] for m in range(k))
+
+    def aux_from_flat(self, flat):
+        k = self.l + 1
+        return (list(flat[:k]), list(flat[k:2 * k]))
 
     def finalize_value(self, terms) -> jax.Array:
         re, im, nb = terms
@@ -307,6 +339,22 @@ class PackedCoordination:
         sc = 1.0 / (1.0 + (self.r_cut / self.r0) ** 6)
         return sc, 1.0 / (1.0 - sc)
 
+    # --- kernel-level (flat scalar) protocol (see PackedSteinhardtQl) ----
+    n_value_terms = 1
+    aux_size = 1
+
+    def pair_value_terms_flat(self, dx, dy, dz, r2, w):
+        return self.pair_value_terms(dx, dy, dz, r2, w)
+
+    def terms_from_flat(self, flat):
+        return tuple(flat)
+
+    def aux_flat(self, aux):
+        return (aux,)
+
+    def aux_from_flat(self, flat):
+        return flat[0]
+
     def pair_value_terms(self, dx, dy, dz, r2, w):
         # [1−(r/r0)^6]/[1−(r/r0)^12] ≡ 1/(1+(r/r0)^6): regular form —
         # the quotient form NaN-poisons autodiff near r = r0
@@ -355,7 +403,7 @@ class PackedCoordination:
         return f_acc + g
 
 
-def make_fused_order_force(cvs, spec: PackedSpec):
+def make_fused_order_force(cvs, spec: PackedSpec, use_pallas: bool = False):
     """Fused multi-CV roll sweep: ONE value traversal + ONE force
     traversal for ALL order CVs, sharing the rolled partner stacks
     (VERDICT r2 weak #2: Config-3 ran 4–5 separate (cap,cap,C) sweeps
@@ -366,7 +414,30 @@ def make_fused_order_force(cvs, spec: PackedSpec):
       force_fn(state, terms, dVds) -> (3, Npad) bias force g
     Requires every cv to implement the roll-sweep protocol
     (pair_value_terms / finalize_value / grad_aux / pair_grad_terms).
+
+    ``use_pallas=True`` swaps both traversals for the VMEM-resident Pallas
+    twins (ops/packed_order_pallas.py) — same per-pair math, traced from
+    the same CV methods; the XLA sweep stays the cross-check oracle.
     """
+    if use_pallas:
+        from ..ops.packed_order_pallas import (
+            order_values_pallas, order_force_pallas)
+
+        def values_fn(state):
+            terms, stacks = order_values_pallas(state, spec, cvs)
+            s = jnp.stack([cv.finalize_value(t)
+                           for cv, t in zip(cvs, terms)])
+            return s, (terms, stacks)
+
+        def force_fn(state, ctx, dVds):
+            terms, stacks = ctx
+            auxs = [cv.grad_aux(t, dVds[i])
+                    for i, (cv, t) in enumerate(zip(cvs, terms))]
+            return order_force_pallas(state, spec, cvs, auxs,
+                                      stacks=stacks)
+
+        return values_fn, force_fn
+
     def values_fn(state):
         stacks = _half_partner_stacks(state, spec)
 

@@ -145,7 +145,8 @@ def make_bias_force_parts(engine, cvs, system: System,
     if fused:
         from .cv.packed_order import make_fused_order_force
         fused_values, fused_force = make_fused_order_force(
-            list(cvs), engine.spec)
+            list(cvs), engine.spec,
+            use_pallas=getattr(engine, "use_pallas", False))
 
     def grad_with_walls(bias, s):
         _, dVds = bias_value_and_grad(bias, s)

@@ -802,3 +802,54 @@ def test_packed_mts_bias_every_smoke():
     # same seed, slowly-varying bias force: the 100-step endpoints agree
     # to the MTS perturbation scale (not bitwise — different force seq)
     np.testing.assert_allclose(res[5], res[1], rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("sentinel", [False, True],
+                         ids=["validity", "sentinel"])
+def test_packed_order_pallas_interpret_matches_xla(sentinel):
+    """Pallas order-CV sweep kernels (values + bias force) == the XLA roll
+    sweep, in both vacancy encodings (validity stack / coordinate
+    sentinel).  TPU-verified at Config-3 scale (9 C-tiles, 62.5k
+    particles): max rel force diff 1.7e-6 — the parity must be checked on
+    a NOISY configuration (on a perfect fcc lattice the Q6 bias force
+    vanishes by symmetry and any relative comparison is meaningless)."""
+    from jax.experimental import pallas as pl
+    import metadyn_tpu.ops.packed_order_pallas as pop
+    from metadyn_tpu.cv.packed_order import (
+        PackedSteinhardtQl, PackedCoordination, make_fused_order_force)
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    a_lat = 1.62
+    pos = fcc_lattice(6, a_lat)
+    n = pos.shape[0]
+    L = 6 * a_lat
+    rng = np.random.default_rng(5)
+    pos = pos + rng.normal(0, 0.08, pos.shape).astype(np.float32)
+    box = Box.cubic(L)
+    kw = dict(uniform_sigma=1.0, uniform_eps=1.0) if sentinel else {}
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40, **kw)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n))
+    assert not bool(ovf)
+
+    nn = a_lat / np.sqrt(2)
+    cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6"),
+           PackedCoordination(spec=spec, r0=nn * 1.35, name="co",
+                              r_cut=nn * 1.35 * 1.5)]
+    v_x, f_x = make_fused_order_force(cvs, spec, use_pallas=False)
+    v_p, f_p = make_fused_order_force(cvs, spec, use_pallas=True)
+    dV = jnp.asarray([0.9, -1.3], jnp.float32)
+
+    orig = pl.pallas_call
+    pop.pl.pallas_call = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        s_x, ctx_x = v_x(st)
+        s_p, ctx_p = v_p(st)
+        np.testing.assert_allclose(np.asarray(s_p), np.asarray(s_x),
+                                   rtol=2e-5)
+        g_x = np.asarray(f_x(st, ctx_x, dV))
+        g_p = np.asarray(f_p(st, ctx_p, dV))
+        scale = np.abs(g_x).max()
+        np.testing.assert_allclose(g_p, g_x, rtol=2e-3, atol=2e-4 * scale)
+    finally:
+        pop.pl.pallas_call = orig
