@@ -44,9 +44,16 @@ class FluxState:
 
 
 def bin_of(spec: GridSpec, s: jax.Array) -> jax.Array:
-    t = (s[0] - spec.lo[0]) / (spec.hi[0] - spec.lo[0])
+    """Nearest grid NODE.  Bins must be centered on the nodes the update
+    writes V to: floor-binning (bin b = [lo+bΔ, lo+(b+1)Δ)) samples h half
+    a bin to the right of node b, and the stationary bias inherits a
+    systematic F'(s)·Δ/2 offset (measured 0.13 kT on the double-well
+    oracle — round-3 FT accuracy push)."""
     n = spec.shape[0]
-    return jnp.clip((t * n).astype(jnp.int32), 0, n - 1)
+    b = jnp.round((s[0] - spec.lo[0]) / spec.spacing(0)).astype(jnp.int32)
+    if spec.periodic[0]:
+        return jnp.mod(b, n)
+    return jnp.clip(b, 0, n - 1)
 
 
 def accumulate(flux: FluxState, spec: GridSpec, s: jax.Array) -> FluxState:

@@ -323,7 +323,9 @@ def build_sampler(cfg: dict, resume: bool = False):
             stride=int(mcfg["stride"]),
             update_period=int(mcfg.get("update_period", 20)),
             seed=int(cfg.get("seed", 0)), walls=walls,
-            update_rule=mcfg.get("update_rule", "flux"))
+            update_rule=mcfg.get("update_rule", "flux"),
+            gain0=float(mcfg.get("gain0", 0.5)),
+            gain_halflife=int(mcfg.get("gain_halflife", 20)))
         return sampler, cfg
 
     hills = HillSpec.create(

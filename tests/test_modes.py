@@ -111,7 +111,7 @@ def test_flux_accumulate_and_update():
     assert V[0] < 0.0
 
 
-def _ft_sampler(kT):
+def _ft_sampler(kT, gamma=5.0, gain_halflife=20):
 
     def dw(pos, state, system):
         x = pos[0, 0]
@@ -124,31 +124,35 @@ def _ft_sampler(kT):
         system, state, ff.bind(system), cvs=[AxisPosition(0, 0, name="x")],
         grid_spec=GridSpec.create([-1.5], [1.5], [61], [0.1]),
         integrator_factory=lambda f: make_langevin_step(
-            f, system, dt=0.005, kT=kT, gamma=5.0),
+            f, system, dt=0.005, kT=kT, gamma=gamma),
         kT=kT, stride=50, update_period=100, seed=0,
+        gain_halflife=gain_halflife,
     )
 
 
 @pytest.mark.slow
 def test_flux_tempered_double_well_converges():
-    """FT-MTD on the double well: iterated histogram updates flatten the
-    landscape and recover F (time-averaged estimator)."""
+    """FT-MTD on the double well recovers F to the ≤0.1 kT north star
+    (BASELINE.md), via the reweighted estimator: transient flux updates
+    flatten the landscape (gain → 0), then begin_measurement() accumulates
+    the visit histogram and F̂ = −V̄ − kT·ln h — exact for any residual
+    bias error, noise ∝ 1/sqrt(T).  The plain −V estimate random-walks at
+    ~0.25 kT under the same protocol (measured, 3 seeds); reweighting
+    measures 0.084/0.069/0.049 kT (seeds 0–2).  γ=2 shortens the CV
+    correlation time τ ≈ L²γ/2kT vs the γ=5 default — halves the
+    histogram noise for the same wall clock."""
     kT = 0.6
-    s = _ft_sampler(kT)
+    s = _ft_sampler(kT, gamma=2.0, gain_halflife=10)
     x = s.grid_coords()
     F_true = A_WELL * (x ** 2 - 1.0) ** 2
-    s.run(100_000)  # transient (20 updates)
-    F_acc = np.zeros_like(x)
-    n_seg = 6
-    for _ in range(n_seg):
-        s.run(100_000)
-        F_acc += s.free_energy()
-    F = F_acc / n_seg
+    s.run(500_000)  # transient: 100 updates, gain → 0.045
+    s.begin_measurement()
+    s.run(8_000_000)
+    F = s.free_energy()
     m = np.abs(x) <= 1.1
     err = (F - F_true)[m]
     err -= err.mean()
-    # the flux rule measures 0.141 here (visits fallback: 0.269)
-    assert np.max(np.abs(err)) < 0.2, np.max(np.abs(err))
+    assert np.max(np.abs(err)) < 0.1, np.max(np.abs(err))
     assert max(h["round_trips"] for h in s.history) >= 1
 
 

@@ -215,6 +215,55 @@ def test_walkers_with_packed_engine():
     assert np.isfinite(V).all() and V.max() > 0.0
 
 
+def test_walker_measurement_histogram(tmp_path):
+    """measure_cv_hist: the on-device per-step CV visit histogram counts
+    every (step, walker) exactly once, the reweighted free_energy is
+    finite, and the measurement accumulators survive checkpoint/resume.
+    (Also pins the shard_map varying-axis fix: the histogram carry enters
+    the scan pcast-varying over the walker axis.)"""
+    system = make_system(1)
+    ff = ForceField(external=_dw)
+    box = Box.cubic(50.0)
+    starts = np.asarray([[1.0 - 2.0 * (w % 2), 0, 0] for w in range(8)],
+                        np.float32)
+
+    def mk():
+        states = jax.vmap(lambda p: make_state(p[None, :], box))(
+            jnp.asarray(starts))
+        return WalkerSampler(
+            system, states, ff.bind(system),
+            cvs=[AxisPosition(0, 0, name="x")],
+            grid_spec=GridSpec.create([-1.6], [1.6], [161], [0.1]),
+            hills=HillSpec.create(W=0.1, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=6.0),
+            integrator_factory=lambda f: make_langevin_step(
+                f, system, dt=0.005, kT=0.6, gamma=5.0),
+            seed=0, measure_cv_hist=True)
+
+    s = mk()
+    s.run(50)                       # pre-measurement strides don't count
+    s.begin_measurement()
+    s.run(100)
+    assert s._meas_h.sum() == 100 * 8   # every (step, walker) binned once
+    F = s.free_energy(0.6)
+    assert np.all(np.isfinite(F)) and F.min() == 0.0
+    # visited region (walkers sit in the wells) dominates the histogram
+    x = np.asarray(s.grid_spec.axis_coords(0))
+    assert s._meas_h[np.abs(np.abs(x) - 1.0) < 0.35].sum() > 0.5 * 800
+
+    ckpt = str(tmp_path / "meas.npz")
+    s.save_checkpoint(ckpt)
+    s.run(50)
+    ref_h, ref_V, ref_n = s._meas_h.copy(), s._meas_V.copy(), s._meas_n
+    s2 = mk()
+    s2.load_checkpoint(ckpt)
+    assert s2._meas_n == 4           # 4 strides measured pre-checkpoint
+    s2.run(50)
+    np.testing.assert_array_equal(s2._meas_h, ref_h)
+    np.testing.assert_allclose(s2._meas_V, ref_V, rtol=1e-6)
+    assert s2._meas_n == ref_n
+
+
 def test_walkers_fes_tenth_kt_oracle():
     """8-walker WT FES hits the ≤0.1 kT north-star tolerance
     (BASELINE.md): measured 0.063 kT with this protocol — the walker
