@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 
@@ -26,11 +27,17 @@ class Box:
 
     @classmethod
     def cubic(cls, L: float) -> "Box":
-        return cls(L=jnp.full((3,), L, dtype=jnp.float32))
+        # host-side (numpy) on purpose: an eager jnp constructor makes the
+        # box device-resident, and any later host read of it (pack_host,
+        # spec sizing) becomes a D2H fetch of an eager-op result — measured
+        # 50–500 s (!) on the axon remote PJRT tunnel.  NumPy leaves enter
+        # jit like any other input and become device arrays at the single
+        # device_put of the packed state.
+        return cls(L=np.full((3,), L, dtype=np.float32))
 
     @classmethod
     def from_lengths(cls, Lx: float, Ly: float, Lz: float) -> "Box":
-        return cls(L=jnp.asarray([Lx, Ly, Lz], dtype=jnp.float32))
+        return cls(L=np.asarray([Lx, Ly, Lz], dtype=np.float32))
 
 
 def minimum_image(dr: jax.Array, box: Box) -> jax.Array:
