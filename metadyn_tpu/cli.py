@@ -395,7 +395,7 @@ def cmd_run(args) -> int:
     from .io.metrics import CSVLogger
     from .io.grid_file import dump_grid
     from .io.checkpoint import save_checkpoint, load_checkpoint
-    from .io.trajectory import TrajectoryWriter
+    from .io.trajectory import make_trajectory_writer
     from .sampler import MetadSampler
 
     with open(args.config) as f:
@@ -406,7 +406,7 @@ def cmd_run(args) -> int:
               if "log_file" in out_cfg else None)
     ckpt_path = out_cfg.get("checkpoint")
     ckpt_every = int(out_cfg.get("checkpoint_every", 0))
-    traj = (TrajectoryWriter(out_cfg["trajectory"],
+    traj = (make_trajectory_writer(out_cfg["trajectory"],
                              overwrite=not args.resume)
             if "trajectory" in out_cfg else None)
 
@@ -459,6 +459,72 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _write_fes(path: str, coords, F) -> None:
+    """Write an FES table: one row per grid node, CV coords then F.
+
+    PLUMED ``sum_hills`` emits the same layout (fes.dat); ``.npz`` output
+    keeps the N-d arrays instead.
+    """
+    F = np.asarray(F)
+    if path.endswith(".npz"):
+        np.savez(path, F=F, **{f"cv{i}": np.asarray(c)
+                               for i, c in enumerate(coords)})
+        return
+    mesh = np.meshgrid(*coords, indexing="ij")
+    cols = [m.ravel() for m in mesh] + [F.ravel()]
+    with open(path, "w") as f:
+        f.write("#! FIELDS " + " ".join(
+            [f"cv{i}" for i in range(len(coords))] + ["free_energy"]) + "\n")
+        np.savetxt(f, np.stack(cols, axis=1), fmt="%.8g")
+
+
+def cmd_sum_hills(args) -> int:
+    """Offline FES reconstruction from a hill log (PLUMED ``sum_hills``
+    equivalent; SURVEY.md §3.5)."""
+    from .io.hill_log import read_hills, fes_from_hills
+
+    h = read_hills(args.hills)
+    if h["step"].size == 0:
+        print("no hills in file", file=sys.stderr)
+        return 1
+    d = h["center"].shape[1]
+    lo = (np.asarray([float(x) for x in args.min.split(",")])
+          if args.min else h["center"].min(0) - 3.0 * h["sigma"].max(0))
+    hi = (np.asarray([float(x) for x in args.max.split(",")])
+          if args.max else h["center"].max(0) + 3.0 * h["sigma"].max(0))
+    bins = [int(b) for b in args.bins.split(",")] if args.bins else [101] * d
+    assert len(lo) == len(hi) == len(bins) == d, (
+        f"hill file has {d} CVs; --min/--max/--bins must match")
+    coords = [np.linspace(lo[i], hi[i], bins[i]) for i in range(d)]
+    F = fes_from_hills(args.hills, coords, mode=args.mode, kT=args.kT,
+                       deltaT=args.deltaT)
+    _write_fes(args.out, coords, F)
+    print(f"FES ({'x'.join(str(b) for b in bins)}, "
+          f"range {F.max() - F.min():.4g}) written to {args.out}")
+    return 0
+
+
+def cmd_fes(args) -> int:
+    """FES from a bias-grid dump (``dump_grid`` output): F = −V (standard)
+    or −(kT+ΔT)/ΔT·V (well-tempered), shifted to min 0."""
+    from .io.grid_file import load_grid
+
+    bias, meta = load_grid(args.grid)
+    V = np.asarray(bias.grid.V)
+    mode, deltaT = meta["mode"], meta["deltaT"]
+    if args.mode:
+        mode = args.mode
+    F = -V if mode in ("standard", "flux_tempered") \
+        else -(args.kT + deltaT) / deltaT * V
+    F = F - F.min()
+    spec = bias.grid.spec
+    coords = [np.linspace(float(spec.lo[i]), float(spec.hi[i]), spec.shape[i])
+              for i in range(len(spec.shape))]
+    _write_fes(args.out, coords, F)
+    print(f"FES (mode={mode}, range {F.max():.4g}) written to {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="metadyn",
                                 description="TPU-native metadynamics MD")
@@ -467,9 +533,32 @@ def main(argv=None) -> int:
     runp.add_argument("config")
     runp.add_argument("--resume", action="store_true",
                       help="resume from output.checkpoint")
+    shp = sub.add_parser(
+        "sum-hills",
+        help="reconstruct the FES from a hill log (PLUMED sum_hills)")
+    shp.add_argument("hills", help="hill log file (HILLS)")
+    shp.add_argument("--out", default="fes.dat",
+                     help="output table (.dat columns or .npz)")
+    shp.add_argument("--min", help="comma-separated grid minima per CV")
+    shp.add_argument("--max", help="comma-separated grid maxima per CV")
+    shp.add_argument("--bins", help="comma-separated bin counts per CV")
+    shp.add_argument("--mode", default="standard",
+                     choices=["standard", "well_tempered"])
+    shp.add_argument("--kT", type=float, default=1.0)
+    shp.add_argument("--deltaT", type=float, default=1.0)
+    fesp = sub.add_parser(
+        "fes", help="FES from a bias-grid dump (output.grid_file)")
+    fesp.add_argument("grid", help="grid dump (.npz from dump_grid)")
+    fesp.add_argument("--out", default="fes.dat")
+    fesp.add_argument("--mode", help="override the mode stored in the dump")
+    fesp.add_argument("--kT", type=float, default=1.0)
     args = p.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)
+    if args.cmd == "sum-hills":
+        return cmd_sum_hills(args)
+    if args.cmd == "fes":
+        return cmd_fes(args)
     return 1
 
 

@@ -43,6 +43,35 @@ def test_cli_config1(tmp_path):
     assert len(open(cfg["output"]["hill_file"]).readlines()) == 11
 
 
+def test_cli_sum_hills_and_fes(tmp_path):
+    """`metadyn sum-hills` (offline hill summation) and `metadyn fes`
+    (grid dump) reconstruct the SAME free-energy surface — the PLUMED
+    sum_hills workflow (SURVEY.md §3.5)."""
+    p, cfg = _shrunk("examples/config1_lj_lamellar.yaml", tmp_path,
+                     run={"n_steps": 250, "report_every": 250})
+    assert main(["run", p]) == 0
+    g = cfg["cvs"][0]["grid"]
+    fes_h = str(tmp_path / "fes_hills.dat")
+    fes_g = str(tmp_path / "fes_grid.npz")
+    assert main(["sum-hills", cfg["output"]["hill_file"], "--out", fes_h,
+                 "--min", str(g["min"]), "--max", str(g["max"]),
+                 "--bins", str(g["num_points"])]) == 0
+    assert main(["fes", cfg["output"]["grid_file"], "--out", fes_g]) == 0
+    tab = np.loadtxt(fes_h)
+    assert tab.shape == (g["num_points"], 2)
+    F_h = tab[:, 1]
+    z = np.load(fes_g)
+    F_g = z["F"]
+    np.testing.assert_allclose(z["cv0"], tab[:, 0], atol=1e-6)
+    # same hills, two reconstruction routes: agree to file-text precision
+    np.testing.assert_allclose(F_h, F_g, atol=5e-3)
+    # auto-ranged reconstruction (no --min/--max) also works
+    fes_a = str(tmp_path / "fes_auto.dat")
+    assert main(["sum-hills", cfg["output"]["hill_file"],
+                 "--out", fes_a]) == 0
+    assert np.loadtxt(fes_a).shape[1] == 2
+
+
 def test_cli_config2_mesh_melt(tmp_path):
     p, cfg = _shrunk(
         "examples/config2_diblock_sk.yaml", tmp_path,

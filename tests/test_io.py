@@ -92,6 +92,43 @@ def test_trajectory_roundtrip(tmp_path):
     np.testing.assert_allclose(back["pos"][1], frames[1])
 
 
+def test_dcd_roundtrip_and_append(tmp_path):
+    """Binary DCD writer: CHARMM record layout (byte-level header check),
+    roundtrip through the independent reader, and append-resume."""
+    import struct
+    from metadyn_tpu.io.trajectory import (DCDWriter, read_dcd,
+                                           make_trajectory_writer)
+
+    p = str(tmp_path / "traj.dcd")
+    w = make_trajectory_writer(p)
+    assert isinstance(w, DCDWriter)
+    rng = np.random.default_rng(1)
+    frames = [rng.normal(size=(7, 3)).astype(np.float32) for _ in range(3)]
+    for i, fr in enumerate(frames):
+        w.append(fr, np.zeros((7, 3), np.int32), [9.0, 8.0, 7.0],
+                 step=100 + i * 50)
+    w.close()
+    raw = open(p, "rb").read()
+    # Fortran record 1: len=84, 'CORD', NSET=3, ISTART=100, cell flag set
+    assert struct.unpack_from("<i", raw, 0)[0] == 84
+    assert raw[4:8] == b"CORD"
+    icntrl = struct.unpack_from("<20i", raw, 8)
+    assert icntrl[0] == 3 and icntrl[1] == 100 and icntrl[10] == 1
+    assert icntrl[3] == 200           # NSTEP patched to the last step
+    back = read_dcd(p)
+    assert int(back["n_frames"]) == 3
+    np.testing.assert_allclose(back["pos"], np.stack(frames))
+    np.testing.assert_allclose(back["box_L"][0], [9.0, 8.0, 7.0])
+    # append-resume (overwrite=False) continues the same file
+    w2 = DCDWriter(p, overwrite=False)
+    w2.append(frames[0], np.zeros((7, 3), np.int32), [9.0, 8.0, 7.0],
+              step=250)
+    w2.close()
+    back2 = read_dcd(p)
+    assert int(back2["n_frames"]) == 4
+    np.testing.assert_allclose(back2["pos"][3], frames[0])
+
+
 def test_cli_config1_end_to_end(tmp_path):
     """`metadyn run` on the Config-1 example: runs, writes hill log, CSV,
     and grid dump (BASELINE.json:7 anchor through the user-facing entry)."""
