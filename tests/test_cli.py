@@ -72,6 +72,7 @@ def test_cli_sum_hills_and_fes(tmp_path):
     assert np.loadtxt(fes_a).shape[1] == 2
 
 
+@pytest.mark.smoke
 def test_cli_config2_mesh_melt(tmp_path):
     p, cfg = _shrunk(
         "examples/config2_diblock_sk.yaml", tmp_path,
@@ -88,6 +89,7 @@ def test_cli_config2_mesh_melt(tmp_path):
     assert os.path.exists(cfg["output"]["grid_file"])
 
 
+@pytest.mark.smoke
 def test_cli_config3_q6_coord(tmp_path):
     p, cfg = _shrunk(
         "examples/config3_nucleation_2dcv.yaml", tmp_path,
@@ -102,6 +104,7 @@ def test_cli_config3_q6_coord(tmp_path):
     assert len(rows[1].split()) == 6  # step, q6, coord, 2 sigmas, height
 
 
+@pytest.mark.smoke
 def test_cli_config4_walkers(tmp_path):
     p, cfg = _shrunk(
         "examples/config4_walkers.yaml", tmp_path,
@@ -113,6 +116,7 @@ def test_cli_config4_walkers(tmp_path):
     assert len(rows) == 1 + 2 * 8  # 2 strides x 8 walkers
 
 
+@pytest.mark.smoke
 def test_cli_config5_flux(tmp_path):
     p, cfg = _shrunk(
         "examples/config5_flux.yaml", tmp_path,
@@ -124,6 +128,7 @@ def test_cli_config5_flux(tmp_path):
     assert os.path.exists(cfg["output"]["grid_file"])
 
 
+@pytest.mark.smoke
 def test_cli_flux_resume(tmp_path):
     """Flux-tempered --resume restores the bias grid AND the gain
     schedule (round-2 advisor, medium: carry-only checkpoints silently

@@ -27,6 +27,7 @@ def _diblock_types(n_chains, chain_len):
     return t.reshape(-1)
 
 
+@pytest.mark.smoke
 def test_packed_mesh_matches_particle_order():
     pos, bonds, _ = _relaxed_melt(n_chains=12, chain_len=8)
     n = pos.shape[0]
@@ -55,6 +56,7 @@ def test_packed_mesh_matches_particle_order():
     pytest.param(125, id="smoke"),
     pytest.param(500, id="full", marks=pytest.mark.slow),
 ])
+@pytest.mark.smoke
 def test_config2_diblock_wt_mtd_end_to_end(n_steps):
     """Diblock melt + WT-MTD on the A−B S(k) CV: the bias drives
     microphase separation (the CV grows) and everything stays finite."""

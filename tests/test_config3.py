@@ -54,6 +54,7 @@ def test_packed_coordination_fcc():
     assert 15.0 < c < 26.0, c
 
 
+@pytest.mark.smoke
 def test_packed_order_cvs_differentiable():
     pos, n, L, box, spec, st = _packed_fcc(ncell=6)
     system = make_system(n)
@@ -69,6 +70,7 @@ def test_packed_order_cvs_differentiable():
     pytest.param(20, 1, "smoke", id="smoke"),
     pytest.param(100, 5, "full", id="full", marks=pytest.mark.slow),
 ])
+@pytest.mark.smoke
 def test_config3_2d_cv_mtd_runs(n_steps, n_hills, marker):
     """64k-shaped (here small) 2D-CV WT-MTD: Q6 × coordination grid bias with
     forces through both CVs — the Config-3 capability slice."""

@@ -19,6 +19,7 @@ from tests.test_packed_bonds import _relaxed_melt
 from tests.test_config2 import _diblock_types
 
 
+@pytest.mark.smoke
 def test_config5_flux_tempered_packed_melt():
     n_chains, chain_len = 20, 10  # shared cached fixture
     pos, bonds, _ = _relaxed_melt(n_chains=n_chains, chain_len=chain_len,

@@ -152,6 +152,7 @@ def test_nve_energy_conservation(key):
     assert abs(e1 - e0) / pos.shape[0] < 5e-3, (e0, e1)
 
 
+@pytest.mark.smoke
 def test_langevin_equipartition(key):
     """Langevin thermostat reaches the target temperature (SURVEY.md §4.2)."""
     kT = 1.2

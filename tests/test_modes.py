@@ -172,6 +172,7 @@ def test_flux_tempered_double_well_fast():
     assert max(h["round_trips"] for h in s.history) >= 1
 
 
+@pytest.mark.smoke
 def test_npt_with_mesh_bias_pressure_consistent(key):
     """NPT + mesh-CV bias: with the k-space bias virial included in
     state.virial (VERDICT r1 item 7, SURVEY.md §3.3), the barostat
@@ -223,6 +224,7 @@ def test_npt_with_mesh_bias_pressure_consistent(key):
     assert np.max(np.abs(wb)) > 1e-3, wb
 
 
+@pytest.mark.smoke
 def test_box_shape_metadynamics_end_to_end(key):
     """Box-shape metadynamics (VERDICT r1 item 4): WT hills deposited on
     s = Lx/Ly, ∂V/∂s coupled to the box DOF through box_bias_fn inside

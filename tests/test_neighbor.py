@@ -24,6 +24,7 @@ def _random_config(n, L, seed):
 
 
 @pytest.mark.parametrize("n,L,seed", [(200, 7.0, 0), (500, 9.0, 1), (911, 11.0, 2)])
+@pytest.mark.smoke
 def test_neighbor_force_matches_all_pairs(n, L, seed):
     pos = jnp.asarray(_random_config(n, L, seed))
     box = Box.cubic(L)
@@ -39,6 +40,7 @@ def test_neighbor_force_matches_all_pairs(n, L, seed):
     np.testing.assert_allclose(r_nb.virial, r_ap.virial, rtol=1e-4)
 
 
+@pytest.mark.smoke
 def test_adversarial_dense_corner():
     """All particles crammed into one box corner (max cell occupancy)."""
     rng = np.random.default_rng(3)
@@ -81,6 +83,7 @@ def test_rebuild_trigger():
     assert not bool(needs_rebuild(nbr, moved_ok, box))
 
 
+@pytest.mark.smoke
 def test_exclusions():
     n, L = 64, 10.0
     pos = jnp.asarray(_random_config(n, L, 6))
@@ -102,6 +105,7 @@ def test_exclusions():
         assert extra <= set(excl[i].tolist()), i
 
 
+@pytest.mark.smoke
 def test_md_with_neighbor_engine_matches_all_pairs(key):
     """Short NVT trajectory: neighbor engine == all-pairs engine (tight skin,
     frequent rebuilds) — the CPU↔GPU cross-check analog (SURVEY.md §4)."""
@@ -138,6 +142,7 @@ def test_md_with_neighbor_engine_matches_all_pairs(key):
     np.testing.assert_allclose(v_ap, v_nb, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.smoke
 def test_overflow_corruption_confined():
     """Cell-capacity overflow must not evict particles from OTHER cells:
     neighbor rows of particles far from the overflowing cell must match a

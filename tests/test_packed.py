@@ -33,6 +33,7 @@ def test_pack_roundtrip():
     np.testing.assert_allclose(unpack_positions(st, spec), pos, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_packed_force_matches_all_pairs():
     pos, n, box, spec, st, ovf = _fcc_case()
     st = packed_lj_force(st, spec)
@@ -45,6 +46,7 @@ def test_packed_force_matches_all_pairs():
     np.testing.assert_allclose(np.asarray(st.virial), np.asarray(ref.virial), rtol=1e-4)
 
 
+@pytest.mark.smoke
 def test_packed_force_random_config():
     rng = np.random.default_rng(0)
     n, L = 400, 12.0
@@ -110,6 +112,7 @@ def test_packed_pallas_interpret_matches_xla():
         pp.pl.pallas_call = orig
 
 
+@pytest.mark.smoke
 def test_packed_langevin_equilibrates(key):
     """MD with periodic repacks — without repacks the cell-implied min image
     goes stale and the run blows up (that failure mode is by design; the
@@ -198,6 +201,7 @@ def test_packed_cv_analytic_bias_force_matches_vjp():
     np.testing.assert_allclose(np.asarray(f), f_oracle, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_packed_pallas2_uniform_sigma_matches_general():
     """The uniform-sigma lean kernel (no hs stacks, const sig, eps>0 gate)
     must match the general kernel exactly, including on a state where
@@ -254,6 +258,7 @@ def _order_cv_state(seed=9):
     return st, spec, n
 
 
+@pytest.mark.smoke
 def test_packed_order_cv_analytic_force_matches_vjp():
     """Q6 and coordination analytic accum_bias_force == jax.vjp of the
     value function (SURVEY.md §7 hard part 4 'grad first, fuse later' —
@@ -283,6 +288,7 @@ def test_packed_order_cv_analytic_force_matches_vjp():
                                rtol=2e-3, atol=2e-4 * scale)
 
 
+@pytest.mark.smoke
 def test_packed_order_half_sweep_matches_full():
     """Newton-halved value sweep == full 27-offset sweep (even-l parity)."""
     from metadyn_tpu.core.state import make_system
@@ -337,6 +343,7 @@ def test_packed_order_half_sweep_matches_full():
         np.testing.assert_allclose(v_half, v_full, rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_packed_soft_pair_matches_all_pairs():
     """pair_kind='soft' on the packed engine == the all-pairs soft oracle
     (the true DPD-conservative push-off, replacing the small-epsilon LJ
@@ -365,6 +372,7 @@ def test_packed_soft_pair_matches_all_pairs():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_packed_wte_energy_cv():
     """Well-tempered-ensemble mode on the packed hot path: with
     PackedEngine(with_energy=True) the potential energy is live every
@@ -462,6 +470,7 @@ def test_packed_pallas2_uniform_eps_sentinel_matches_general():
     np.testing.assert_allclose(np.asarray(a.virial), np.asarray(b.virial), rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_packed_uniform_eps_md_block():
     """Short MD with the lean kernel under repack: trajectories match the
     general-kernel engine bitwise-closely (sentinel reapplied at repack)."""
@@ -515,6 +524,7 @@ def test_packed_uniform_eps_md_block():
     np.testing.assert_allclose(res[False], res[True], rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.smoke
 def test_packed_force_j_chunking_matches_full():
     """The memory-bounded j-chunked XLA force == the full-block path
     (chunking auto-engages at ~1M-particle scale where (cap,cap,C)
@@ -543,6 +553,7 @@ def test_packed_force_j_chunking_matches_full():
                                    rtol=1e-6)
 
 
+@pytest.mark.smoke
 def test_packed_npt_scr_targets_pressure():
     """NPT on the packed hot path (VERDICT r2 missing #4): the SCR
     barostat driven by the per-step packed virial equilibrates the LJ
@@ -603,6 +614,7 @@ def test_packed_npt_scr_targets_pressure():
     assert not bool(aux.overflow)
 
 
+@pytest.mark.smoke
 def test_packed_box_shape_metadynamics_smoke():
     """Box-shape metadynamics END-TO-END on the packed engine (VERDICT
     r2 missing #4): aspect-ratio CV hills coupled to the box DOF inside
@@ -655,6 +667,7 @@ def test_packed_box_shape_metadynamics_smoke():
     assert 0.5 < s < 2.0
 
 
+@pytest.mark.smoke
 def test_neighbor_table_matches_roll_sweep():
     """Table-path order CVs (values + bias forces over the slot neighbor
     table) == the roll-sweep path, and the table itself is complete:
@@ -710,6 +723,7 @@ def test_neighbor_table_matches_roll_sweep():
     np.testing.assert_allclose(g_t, g_r, rtol=2e-3, atol=2e-4 * scale)
 
 
+@pytest.mark.smoke
 def test_neighbor_table_mtd_run_with_repack():
     """Biased MD on a table engine: migrations trigger table rebuilds
     inside the repack cond; CV values stay consistent with the roll path
@@ -758,6 +772,7 @@ def test_neighbor_table_mtd_run_with_repack():
     np.testing.assert_allclose(np.asarray(s_t), s_r, rtol=5e-5)
 
 
+@pytest.mark.smoke
 def test_packed_mts_bias_every_smoke():
     """bias_every=5 on the packed order-CV path: the MTS chunk (CV sweeps
     once per 5 steps, bias force held) runs biased MD with the same

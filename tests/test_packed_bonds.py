@@ -45,6 +45,7 @@ def _relaxed_melt(n_chains=20, chain_len=10, L=12.0, seed=0):
 
 
 
+@pytest.mark.smoke
 def test_packed_bonded_force_matches_oracle():
     pos, bonds, system = _relaxed_melt()
     n = pos.shape[0]
@@ -84,6 +85,7 @@ def test_packed_bonded_force_matches_oracle():
     np.testing.assert_allclose(f_packed, f_ref, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.smoke
 def test_packed_pallas_bonds_interpret():
     from jax.experimental import pallas as pl
     import metadyn_tpu.ops.packed_pallas as pp
@@ -109,6 +111,7 @@ def test_packed_pallas_bonds_interpret():
                                rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.smoke
 def test_packed_melt_md_stable():
     """Short packed-engine melt MD: bonds hold, no losses, finite."""
     pos, bonds, system = _relaxed_melt()
@@ -195,6 +198,7 @@ def _packed_state_for(pos, bonds, box, L):
     return st, spec
 
 
+@pytest.mark.smoke
 def test_packed_bond_past_rcut_keeps_fene():
     """A bond stretched past the pair r_cut must keep FENE force/energy
     (the pair cutoff gates only the plain pair term)."""
@@ -209,6 +213,7 @@ def test_packed_bond_past_rcut_keeps_fene():
     assert f_packed[0, 0] > 10.0 and f_packed[1, 0] < -10.0
 
 
+@pytest.mark.smoke
 def test_packed_pallas_bond_past_rcut_keeps_fene():
     from jax.experimental import pallas as pl
     import metadyn_tpu.ops.packed_pallas as pp
@@ -233,6 +238,7 @@ def test_packed_pallas_bond_past_rcut_keeps_fene():
         np.testing.assert_allclose(f, f_ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_packed_branched_topology_star():
     """bond_slots > 2: a 4-arm star polymer (center has 4 bonds) on the
     packed engine matches the particle-order oracle — removes the

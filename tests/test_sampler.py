@@ -249,6 +249,7 @@ def test_hill_list_mode_end_to_end_fes():
     assert not bool(sl.bias.overflowed)
 
 
+@pytest.mark.smoke
 def test_hill_list_spill_to_grid():
     """Past capacity, hills spill onto the coarse grid: total bias is
     preserved (no overflow flag) and the FES still matches a big-buffer

@@ -24,6 +24,7 @@ def _liquid(n, L, seed):
 
 
 @pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.smoke
 def test_sharded_force_matches_single_device(n_dev):
     """2- and 4-device sharded forces == single-device forces, energy and
     virial to f32 exactness (the reference's DD ghost-exchange parity,
@@ -53,6 +54,7 @@ def test_sharded_force_matches_single_device(n_dev):
                                rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_sharded_force_seam_pairs():
     """Adversarial: particles straddling the periodic x seam and every
     shard boundary must see their cross-boundary neighbors."""
@@ -86,6 +88,7 @@ def test_sharded_force_seam_pairs():
 
 
 @pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.smoke
 def test_sharded_repack_matches_single_device(n_dev):
     """The sharded migration (ghost-plane ownership handoff) produces a
     BIT-IDENTICAL slot assignment to the single-device incremental
@@ -127,6 +130,7 @@ def test_sharded_repack_matches_single_device(n_dev):
                                       np.asarray(ref.attrs[k]), err_msg=k)
 
 
+@pytest.mark.smoke
 def test_sharded_biased_md_steps_match_single_device():
     """Full biased MD under the "space" axis — integrate + ghost
     exchange + migration + FENE bonds + CV reduction + WT hill deposit —
@@ -199,6 +203,7 @@ def test_sharded_biased_md_steps_match_single_device():
                                float(m_ref["potential_energy"]), rtol=1e-4)
 
 
+@pytest.mark.smoke
 def test_sharded_force_with_bonds_matches():
     """Ghost planes carry pids + FENE partner attrs: cross-shard bonds
     get the bonded interaction, not the pair potential."""
@@ -231,6 +236,7 @@ def test_sharded_force_with_bonds_matches():
                                rtol=1e-5)
 
 
+@pytest.mark.smoke
 def test_mesh_cv_distributed_fft():
     """The TRUE distributed mesh FFT (VERDICT r2 missing #2): ρ assigned
     locally per x-slab with halo-column folds, slab FFT with an

@@ -44,6 +44,7 @@ def _make_walker_sampler(n_steps_equiv=None, seed=0, stride=25):
     )
 
 
+@pytest.mark.smoke
 def test_walkers_share_grid():
     s = _make_walker_sampler()
     out = s.run(250)  # 10 strides × 8 walkers
@@ -161,6 +162,7 @@ def test_walker_hill_log_and_checkpoint(tmp_path):
     np.testing.assert_array_equal(V_ref, np.asarray(s2.bias.grid.V))
 
 
+@pytest.mark.smoke
 def test_walkers_with_packed_engine():
     """Multi-walker metadynamics over a REAL packed LJ system: 8 walkers
     x 864 particles on the CPU mesh, shared grid, lamellar CV (VERDICT r1
@@ -215,6 +217,7 @@ def test_walkers_with_packed_engine():
     assert np.isfinite(V).all() and V.max() > 0.0
 
 
+@pytest.mark.smoke
 def test_walker_measurement_histogram(tmp_path):
     """measure_cv_hist: the on-device per-step CV visit histogram counts
     every (step, walker) exactly once, the reweighted free_energy is
@@ -264,6 +267,7 @@ def test_walker_measurement_histogram(tmp_path):
     assert s2._meas_n == ref_n
 
 
+@pytest.mark.smoke
 def test_walkers_fes_tenth_kt_oracle():
     """8-walker WT FES hits the ≤0.1 kT north-star tolerance
     (BASELINE.md): measured 0.063 kT with this protocol — the walker
