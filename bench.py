@@ -149,6 +149,13 @@ def main():
         integrator_factory=lambda f: make_packed_langevin_step(
             f, dt=0.005, kT=KT, gamma=1.0),
         seed=0,
+        # bias-force multiple-time-stepping: the CV gradient + grid interp
+        # refresh every 5 inner steps and the bias force is held in between
+        # (pair/bond forces stay exact every step).  Hills land every 500
+        # steps, so the bias varies slowly on a 5-step horizon; FES accuracy
+        # is regression-tested (test_packed_mts_bias_every_smoke).  Worth
+        # +6.9% here (50.6 -> 54.1M).
+        bias_every=5,
         chunks_per_block=8,
         walls=WallSpec.at_grid_edges(gspec, k=2000.0),
     )
