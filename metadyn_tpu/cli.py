@@ -23,6 +23,7 @@ def _build_particle_cvs(cvs_cfg, system, L, pos):
     from .cv.steinhardt import SteinhardtQl
     from .cv.msd import MSD
     from .cv.aspect_ratio import AspectRatio
+    from .cv.simple import PotentialEnergyCV
 
     cvs = []
     for c in cvs_cfg:
@@ -44,8 +45,16 @@ def _build_particle_cvs(cvs_cfg, system, L, pos):
             cvs.append(AspectRatio(axis_a=int(c.get("axis_a", 0)),
                                    axis_b=int(c.get("axis_b", 1)),
                                    name=c["name"]))
+        elif kind == "wte":
+            cvs.append(PotentialEnergyCV(name=c["name"]))
         else:
             raise ValueError(f"unknown cv kind {kind}")
+    if any(c["kind"] == "wte" for c in cvs_cfg):
+        assert all(hasattr(cv, "accum_bias_force") or c["kind"] == "wte"
+                   for cv, c in zip(cvs, cvs_cfg)), (
+            "wte (energy CV) needs every co-registered CV to provide an "
+            "analytic bias force — combine it with packed CVs or use it "
+            "alone")
     return cvs
 
 
@@ -78,6 +87,9 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system):
         elif kind == "msd":
             cv = PackedMSD(n_real=n, name=c["name"])
             extra_attrs.update(msd_reference_attrs(pos))
+        elif kind == "wte":
+            from .cv.simple import PotentialEnergyCV
+            cv = PotentialEnergyCV(name=c["name"])
         else:
             raise ValueError(f"unknown packed cv kind {kind}")
         cvs.append(cv)
@@ -268,6 +280,7 @@ def build_sampler(cfg: dict, resume: bool = False):
             spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
             # NPT reads state.virial every step; WTE reads the energy
             with_energy=(icfg.get("kind") == "npt_scr"
+                         or any(c["kind"] == "wte" for c in cvs_cfg)
                          or bool(eng_cfg.get("with_energy", False))))
         cvs, extra_attrs = _build_packed_cvs(cvs_cfg, spec, n, types, pos,
                                              system)

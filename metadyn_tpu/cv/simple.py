@@ -58,3 +58,35 @@ class EnergyCV:
 
     def value(self, state: State, system: System) -> jax.Array:
         return self.energy_fn(state.pos, state, system)
+
+
+@struct.dataclass
+class PotentialEnergyCV:
+    """s = total potential energy from the live force pass — the
+    well-tempered-ensemble CV (reference ``WellTemperedEnsemble``,
+    SURVEY.md §2a) on ANY engine.
+
+    Reads ``state.potential_energy`` and applies the analytic bias force
+    ``dU/dr = −F  ⇒  f_bias = +dVds·F`` (no vjp), so it works on both the
+    particle-order ``State`` (``.force``) and the packed SoA state
+    (``.f``).  Requirements: the engine must refresh the energy every
+    inner step (``PackedEngine(with_energy=True)``; the particle-order
+    engines always do), and — because the stored scalar is not
+    differentiable w.r.t. positions — every co-registered CV must also
+    provide ``accum_bias_force`` so the sampler stays on the analytic
+    path (the CLI enforces this).
+    """
+
+    name: str = struct.field(pytree_node=False, default="U")
+
+    @property
+    def log_name(self) -> str:
+        return f"cv_{self.name}"
+
+    def value(self, state, system: System) -> jax.Array:
+        return state.potential_energy
+
+    def accum_bias_force(self, state, system, dVds: jax.Array,
+                         f_acc: jax.Array) -> jax.Array:
+        f = state.f if hasattr(state, "f") else state.force
+        return f_acc + dVds * f

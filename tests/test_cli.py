@@ -73,6 +73,33 @@ def test_cli_sum_hills_and_fes(tmp_path):
 
 
 @pytest.mark.smoke
+def test_cli_config6_wte(tmp_path):
+    """`kind: wte` — the well-tempered-ensemble CV (total potential energy,
+    reference WellTemperedEnsemble) through the CLI on the packed engine:
+    with_energy auto-enabled, hills land on U, logged CV == live energy."""
+    p, cfg = _shrunk(
+        "examples/config6_wte.yaml", tmp_path,
+        system={"init": {"kind": "fcc", "n_cells": 6, "a": 1.72}},
+        cvs=[{"name": "U", "kind": "wte",
+              "grid": {"min": -7500.0, "max": -1000.0,
+                       "num_points": 131, "sigma": 70.0}}],
+        metadynamics={"W": 1.0, "stride": 25, "mode": "well_tempered",
+                      "deltaT": 3000.0},
+        run={"n_steps": 250, "report_every": 250})
+    assert main(["run", p]) == 0
+    rows = [l for l in open(cfg["output"]["hill_file"])
+            if not l.startswith("#")]
+    assert len(rows) == 10
+    u = np.array([float(r.split()[1]) for r in rows])
+    # the CV is the live potential energy of an 864-particle LJ solid/liquid
+    assert (-7500 < u).all() and (u < -1000).all()
+    from metadyn_tpu.io.grid_file import load_grid
+    bias, meta = load_grid(cfg["output"]["grid_file"])
+    assert meta["mode"] == "well_tempered"
+    assert float(np.asarray(bias.grid.V).max()) > 0.0
+
+
+@pytest.mark.smoke
 def test_cli_config2_mesh_melt(tmp_path):
     p, cfg = _shrunk(
         "examples/config2_diblock_sk.yaml", tmp_path,
