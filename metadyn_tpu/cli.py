@@ -310,6 +310,21 @@ def build_sampler(cfg: dict, resume: bool = False):
 
     # --- metadynamics ----------------------------------------------------
     grid = _grid_from_cfg(cvs_cfg, mcfg)
+    # restart_from_grid: seed the bias from a previous run's grid dump and
+    # keep depositing (the reference's restart_from_grid/add_bias path,
+    # SURVEY.md §3.5) — unlike --resume this restarts the MD state fresh
+    initial_bias = None
+    if "restart_from_grid" in mcfg:
+        from .io.grid_file import load_grid
+        assert grid is not None, "restart_from_grid needs grid-mode CVs"
+        initial_bias, _gmeta = load_grid(mcfg["restart_from_grid"])
+        lspec = initial_bias.grid.spec
+        assert tuple(lspec.shape) == tuple(grid.shape), (
+            f"grid dump shape {tuple(lspec.shape)} != config grid "
+            f"{tuple(grid.shape)}")
+        assert (np.allclose(lspec.lo, grid.lo)
+                and np.allclose(lspec.hi, grid.hi)), (
+            "grid dump CV ranges differ from the config's grid ranges")
     walls = None
     if "wall_k" in mcfg:
         if grid is not None:
@@ -332,6 +347,7 @@ def build_sampler(cfg: dict, resume: bool = False):
         assert grid is not None, "flux-tempered mode needs a CV grid"
         sampler = FluxTemperedSampler(
             system, state, engine, cvs=cvs, grid_spec=grid,
+            initial_bias=initial_bias,
             integrator_factory=integ, kT=kT,
             stride=int(mcfg["stride"]),
             update_period=int(mcfg.get("update_period", 20)),
@@ -375,6 +391,7 @@ def build_sampler(cfg: dict, resume: bool = False):
             f"have {len(devs)}")
         sampler = WalkerSampler(
             system, states, engine, cvs=cvs, grid_spec=grid, hills=hills,
+            initial_bias=initial_bias,
             integrator_factory=integ,
             mesh=Mesh(np.asarray(devs[:n_walkers]), ("walkers",)),
             seed=int(cfg.get("seed", 0)), walls=walls,
@@ -385,6 +402,7 @@ def build_sampler(cfg: dict, resume: bool = False):
 
     sampler = MetadSampler(
         system, state, engine, cvs=cvs, grid_spec=grid, hills=hills,
+        initial_bias=initial_bias,
         integrator_factory=integ, seed=int(cfg.get("seed", 0)),
         hill_file=out_cfg.get("hill_file"),
         overwrite=hill_overwrite,

@@ -72,6 +72,45 @@ def test_cli_sum_hills_and_fes(tmp_path):
     assert np.loadtxt(fes_a).shape[1] == 2
 
 
+def test_cli_restart_from_grid(tmp_path):
+    """`metadynamics.restart_from_grid` seeds the bias from a previous
+    run's grid dump and keeps depositing (reference restart_from_grid /
+    add_bias, SURVEY.md §3.5) — distinct from --resume, which restores
+    the full MD state."""
+    from metadyn_tpu.io.grid_file import load_grid
+
+    p1, cfg1 = _shrunk("examples/config1_lj_lamellar.yaml", tmp_path,
+                       run={"n_steps": 250, "report_every": 250})
+    assert main(["run", p1]) == 0
+    b0, _ = load_grid(cfg1["output"]["grid_file"])
+    V0 = np.asarray(b0.grid.V)
+    assert V0.max() > 0.0
+
+    (tmp_path / "second").mkdir(exist_ok=True)
+    p2, cfg2 = _shrunk(
+        p1, tmp_path / "second",
+        metadynamics={"restart_from_grid": cfg1["output"]["grid_file"]},
+        run={"n_steps": 125, "report_every": 125})
+    assert main(["run", p2]) == 0
+    b1, _ = load_grid(cfg2["output"]["grid_file"])
+    V1 = np.asarray(b1.grid.V)
+    # standard mode only ADDS bias: the seeded grid is a lower bound, and
+    # the continuation deposited 5 more hills on top
+    assert (V1 - V0).min() > -1e-5
+    assert (V1 - V0).max() > 0.0
+
+    # mismatched grid must be rejected, not silently interpolated
+    (tmp_path / "third").mkdir(exist_ok=True)
+    p3, _ = _shrunk(p1, tmp_path / "third",
+                    cvs=[dict(cfg1["cvs"][0],
+                              grid=dict(cfg1["cvs"][0]["grid"],
+                                        num_points=51))],
+                    metadynamics={"restart_from_grid":
+                                  cfg1["output"]["grid_file"]})
+    with pytest.raises(AssertionError):
+        main(["run", p3])
+
+
 @pytest.mark.smoke
 def test_cli_config6_wte(tmp_path):
     """`kind: wte` — the well-tempered-ensemble CV (total potential energy,
