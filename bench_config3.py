@@ -6,7 +6,9 @@ grid — reported alongside bench.py's headline number (VERDICT r1 item 10).
 The order-CV sweeps dominate: per step the bias force evaluates both CVs
 and their analytic gradients over the cell-pair structure (Newton-halved
 sweeps + closed-form dY_lm contraction; see cv/packed_order.py).  History:
-1.4M (vjp path, r1) → 4.9M (analytic two-pass, r2).  The
+1.4M (vjp path, r1) → 4.9M (analytic two-pass, r2) → 18.4M (fused
+one-traversal sweeps + bias-force MTS) → 29.1M (VMEM-resident Pallas
+order kernels, on by default on TPU).  The
 neighbor-table path (ops/neighbor_table) was measured SLOWER here —
 XLA TPU gather does ~0.5 G random accesses/s, so the (K, Npad) gather
 costs ~19 ms vs the 5.6 ms masked roll traversal; the hot path stays
