@@ -342,8 +342,17 @@ def build_sampler(cfg: dict, resume: bool = False):
     # resuming must append to the accumulated hill history, not truncate
     # it (the hill file is the offline sum_hills input) — round-2 advisor
     hill_overwrite = bool(out_cfg.get("overwrite", True)) and not resume
+    # add_hills: false = frozen-bias production run (reference
+    # ``mode_metadynamics(add_hills=False)``) — usually combined with
+    # restart_from_grid to sample under a converged static bias
+    add_hills = bool(mcfg.get("add_hills", True))
 
     if mode == "flux_tempered":
+        assert add_hills, (
+            "add_hills: false is a hill-deposition concept; flux-tempered "
+            "mode rebuilds its bias from histograms instead — use a long "
+            "update_period (or standard mode + restart_from_grid) to hold "
+            "the bias static")
         assert grid is not None, "flux-tempered mode needs a CV grid"
         sampler = FluxTemperedSampler(
             system, state, engine, cvs=cvs, grid_spec=grid,
@@ -397,7 +406,8 @@ def build_sampler(cfg: dict, resume: bool = False):
             seed=int(cfg.get("seed", 0)), walls=walls,
             hill_file=out_cfg.get("hill_file"),
             overwrite=hill_overwrite,
-            chunks_per_block=int(cfg.get("chunks_per_block", 16)))
+            chunks_per_block=int(cfg.get("chunks_per_block", 16)),
+            add_hills=add_hills)
         return sampler, cfg
 
     sampler = MetadSampler(
@@ -411,6 +421,7 @@ def build_sampler(cfg: dict, resume: bool = False):
         if grid is None else None,
         hill_capacity=int(mcfg.get("hill_capacity", 4096)),
         chunks_per_block=int(cfg.get("chunks_per_block", 16)),
+        add_hills=add_hills,
     )
     return sampler, cfg
 

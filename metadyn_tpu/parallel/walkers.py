@@ -59,6 +59,7 @@ def make_walker_chunk(
     axis: str = "walkers",
     walls=None,
     cv_hist_spec: Optional[GridSpec] = None,
+    add_hills: bool = True,
 ):
     """Per-walker stride chunk (runs inside shard_map on ONE walker).
 
@@ -106,17 +107,27 @@ def make_walker_chunk(
             hist = jax.lax.psum(hist, axis)
         state = engine.refresh_energy(state, aux)
         s = cv_stack(cvs, state, system)
-        # WT height against the pre-stride grid (reference partition semantics)
-        h = hill_height(hills, bias, s)
-        dV, ddV = hill_field(bias.grid.spec, s, h)
-        # ONE allreduce of the grid delta over ICI — the multi-walker sync
-        dV = jax.lax.psum(dV, axis)
-        ddV = jax.lax.psum(ddV, axis)
-        n_w = jax.lax.psum(jnp.int32(1), axis)
-        new_bias = BiasState(
-            grid=bias.grid.replace(V=bias.grid.V + dV, dV=bias.grid.dV + ddV),
-            n_hills=bias.n_hills + n_w,
-        )
+        if add_hills:
+            # WT height against the pre-stride grid (reference partition
+            # semantics)
+            h = hill_height(hills, bias, s)
+            dV, ddV = hill_field(bias.grid.spec, s, h)
+            # ONE allreduce of the grid delta over ICI — the multi-walker
+            # sync
+            dV = jax.lax.psum(dV, axis)
+            ddV = jax.lax.psum(ddV, axis)
+            n_w = jax.lax.psum(jnp.int32(1), axis)
+            new_bias = BiasState(
+                grid=bias.grid.replace(V=bias.grid.V + dV,
+                                       dV=bias.grid.dV + ddV),
+                n_hills=bias.n_hills + n_w,
+            )
+        else:
+            # frozen shared bias (reference ``add_hills=False``): all
+            # walkers sample under the same static grid — no deposit, no
+            # allreduce
+            h = jnp.float32(0.0)
+            new_bias = bias
         V_here, _ = value_and_grad(new_bias.grid, s)
         metrics = {
             "cv": s,
@@ -155,6 +166,7 @@ class WalkerSampler:
         overwrite: bool = False,
         chunks_per_block: int = 16,
         measure_cv_hist: bool = False,
+        add_hills: bool = True,
     ):
         """``measure_cv_hist=True`` accumulates the walker-summed per-step
         CV visit histogram on device (one extra CV eval per step — meant
@@ -174,7 +186,8 @@ class WalkerSampler:
         bias = initial_bias if initial_bias is not None else BiasState.zeros(grid_spec)
         chunk = make_walker_chunk(
             engine, cvs, system, hills, integrator_factory, walls=walls,
-            cv_hist_spec=grid_spec if measure_cv_hist else None)
+            cv_hist_spec=grid_spec if measure_cv_hist else None,
+            add_hills=add_hills)
 
         def run_one(state, aux, key, step, bias):
             # squeeze the per-device walker axis (1 walker per device)
@@ -243,7 +256,7 @@ class WalkerSampler:
         self._meas_n = 0
         self.history: list[dict] = []
         self.hill_log = (HillLog(hill_file, self, overwrite=overwrite)
-                         if hill_file else None)
+                         if hill_file and add_hills else None)
 
     def run(self, n_steps: int) -> list[dict]:
         stride = self.hills.stride

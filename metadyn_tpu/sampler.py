@@ -30,7 +30,8 @@ from .cv.base import CollectiveVariable
 from .bias.grid import BiasGrid, GridSpec, value_and_grad
 from .bias.hill_list import HillListBias, evaluate_on_grid
 from .bias.metad import (
-    BiasState, HillSpec, WallSpec, bias_value_and_grad, deposit, free_energy,
+    BiasState, HillRecord, HillSpec, WallSpec, bias_value_and_grad, deposit,
+    free_energy,
 )
 from .io.hill_log import HillLog
 from .utils.profiling import phase
@@ -212,6 +213,7 @@ def make_stride_chunk(
     integrator_factory: Callable,
     bias_every: int = 1,
     bias_parts=None,
+    add_hills: bool = True,
 ):
     """One deposition stride: nested scan of rebuild blocks × MD steps,
     then deposit a hill — all fused into the jitted outer scan body.
@@ -300,7 +302,15 @@ def make_stride_chunk(
         with phase("cv_eval"):
             s = cv_stack(cvs, state, system)
         with phase("hill_deposit"):
-            new_bias, rec = deposit(hills, bias, s, new_step)
+            if add_hills:
+                new_bias, rec = deposit(hills, bias, s, new_step)
+            else:
+                # frozen-bias run (reference ``add_hills=False``): the bias
+                # still exerts forces but is never updated — production
+                # sampling on a converged FES, e.g. after restart_from_grid
+                new_bias = bias
+                rec = HillRecord(step=new_step, center=s,
+                                 height=jnp.float32(0.0))
         V, _ = bias_value_and_grad(new_bias, s)
         if isinstance(new_bias, BiasState):
             # CV outside the registered grid range → hills silently clamp;
@@ -352,6 +362,7 @@ class MetadSampler:
         hill_capacity: int = 4096,
         spill_grid: Optional[GridSpec] = None,
         bias_every: int = 1,
+        add_hills: bool = True,
     ):
         """``grid_spec=None`` selects the reference's non-grid hill-list
         mode (SURVEY.md §3.1): pass ``hill_sigma`` (per-CV widths), and
@@ -360,7 +371,12 @@ class MetadSampler:
 
         ``bias_every`` > 1 holds the bias force constant for that many MD
         steps between CV re-evaluations (multiple-time-stepping — see
-        :func:`make_stride_chunk`); the pair/bond forces stay exact."""
+        :func:`make_stride_chunk`); the pair/bond forces stay exact.
+
+        ``add_hills=False`` freezes the bias (the reference's
+        ``mode_metadynamics(add_hills=False)``): forces from the current
+        bias (usually seeded via ``initial_bias``) are applied but no
+        hills are ever deposited and no hill file is written."""
         if grid_spec is not None:
             assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
         else:
@@ -396,7 +412,8 @@ class MetadSampler:
         )
         chunk = make_stride_chunk(
             engine, self.biased_force, cvs, system, hills, integrator_factory,
-            bias_every=bias_every, bias_parts=self._bias_parts)
+            bias_every=bias_every, bias_parts=self._bias_parts,
+            add_hills=add_hills)
 
         def run_chunks(carry, n):
             return jax.lax.scan(chunk, carry, None, length=n)
@@ -406,7 +423,8 @@ class MetadSampler:
         # host (dispatch cost amortized over stride·block steps).
         self._block = chunks_per_block
         self._run_chunks = jax.jit(run_chunks, static_argnums=1)
-        self.hill_log = HillLog(hill_file, self, overwrite=overwrite) if hill_file else None
+        self.hill_log = (HillLog(hill_file, self, overwrite=overwrite)
+                         if hill_file and add_hills else None)
         self.history: list[dict] = []
 
     @property

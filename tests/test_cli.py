@@ -111,6 +111,32 @@ def test_cli_restart_from_grid(tmp_path):
         main(["run", p3])
 
 
+def test_cli_add_hills_false(tmp_path):
+    """`metadynamics.add_hills: false` + `restart_from_grid` = frozen-bias
+    production run (reference ``mode_metadynamics(add_hills=False)``): the
+    seeded grid is applied as a static bias and comes back unchanged."""
+    from metadyn_tpu.io.grid_file import load_grid
+
+    p1, cfg1 = _shrunk("examples/config1_lj_lamellar.yaml", tmp_path,
+                       run={"n_steps": 250, "report_every": 250})
+    assert main(["run", p1]) == 0
+    b0, _ = load_grid(cfg1["output"]["grid_file"])
+    V0 = np.asarray(b0.grid.V)
+
+    (tmp_path / "frozen").mkdir(exist_ok=True)
+    p2, cfg2 = _shrunk(
+        p1, tmp_path / "frozen",
+        metadynamics={"restart_from_grid": cfg1["output"]["grid_file"],
+                      "add_hills": False},
+        run={"n_steps": 125, "report_every": 125})
+    assert main(["run", p2]) == 0
+    b1, _ = load_grid(cfg2["output"]["grid_file"])
+    np.testing.assert_array_equal(np.asarray(b1.grid.V), V0)
+    assert int(b1.n_hills) == int(b0.n_hills)
+    # no hill rows are appended during a frozen run
+    assert not os.path.exists(cfg2["output"]["hill_file"])
+
+
 @pytest.mark.smoke
 def test_cli_config6_wte(tmp_path):
     """`kind: wte` — the well-tempered-ensemble CV (total potential energy,

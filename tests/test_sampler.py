@@ -369,3 +369,55 @@ def test_double_well_2d_fes_fast():
         for sy in (-1, 1):
             well = V[(np.abs(X - sx) < 0.2) & (np.abs(Y - sy) < 0.2)]
             assert well.max() > 0.3, (sx, sy)
+
+
+def test_add_hills_false_freezes_bias(tmp_path):
+    """``add_hills=False`` (reference ``mode_metadynamics(add_hills=False)``):
+    the bias exerts forces but never changes — production sampling on a
+    converged FES.  The frozen grid must be bitwise-identical after the
+    run, no hill file is written, and the bias force demonstrably steers
+    the trajectory (same seed, with vs without the seeded bias)."""
+    # phase 1: deposit some bias
+    s1 = _double_well_sampler(stride=50, W=0.3, deltaT=6.0, seed=3)
+    s1.run(2000)
+    seeded = s1.bias
+    assert int(seeded.n_hills) == 40
+
+    def frozen(initial_bias, hill_file=None):
+        box = Box.cubic(50.0)
+        system = make_system(1)
+
+        def dw(pos, state, system):
+            x = pos[0, 0]
+            return (A_WELL * (x * x - 1.0) ** 2
+                    + 5.0 * (pos[0, 1] ** 2 + pos[0, 2] ** 2))
+
+        ff = ForceField(external=dw)
+        state = make_state(np.asarray([[1.0, 0.0, 0.0]], np.float32), box)
+        return MetadSampler(
+            system, state, ff.bind(system),
+            cvs=[AxisPosition(0, 0, name="x")],
+            grid_spec=GridSpec.create([-1.6], [1.6], [161], [0.1]),
+            hills=HillSpec.create(W=0.3, stride=50, mode=WELL_TEMPERED,
+                                  deltaT=6.0),
+            integrator_factory=lambda f: make_langevin_step(
+                f, system, dt=0.005, kT=0.6, gamma=5.0),
+            seed=7, add_hills=False, initial_bias=initial_bias,
+            hill_file=hill_file, overwrite=True)
+
+    hf = str(tmp_path / "HILLS_frozen")
+    s2 = frozen(seeded, hill_file=hf)
+    hist = s2.run(1000)
+    # bias bitwise-frozen, hill counter untouched, no hill rows written
+    assert np.array_equal(np.asarray(s2.bias.grid.V),
+                          np.asarray(seeded.grid.V))
+    assert int(s2.bias.n_hills) == int(seeded.n_hills)
+    assert all(float(m["hill_height"]) == 0.0 for m in hist)
+    assert not (tmp_path / "HILLS_frozen").exists()
+    # the frozen bias still steers: same seed without bias ends elsewhere
+    s3 = frozen(None)
+    s3.run(1000)
+    x2 = float(s2.state.pos[0, 0])
+    x3 = float(s3.state.pos[0, 0])
+    assert abs(x2 - x3) > 1e-4
+    assert np.isfinite(x2) and np.isfinite(x3)

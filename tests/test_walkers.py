@@ -288,3 +288,35 @@ def test_walkers_fes_tenth_kt_oracle():
     err = (F - F_true)[m]
     err -= err.mean()
     assert np.max(np.abs(err)) < 0.1 * kT, np.max(np.abs(err)) / kT
+
+
+def test_walkers_add_hills_false_frozen_bias():
+    """``add_hills=False`` on the walker sampler: all 8 replicas sample
+    under the same static grid — no deposits, no allreduce, grid bitwise
+    unchanged (reference frozen-bias multiple-walker production run)."""
+    s1 = _make_walker_sampler()
+    s1.run(100)
+    seeded = s1.bias
+    assert int(seeded.n_hills) == 32
+
+    system = make_system(1)
+    ff = ForceField(external=_dw)
+    box = Box.cubic(50.0)
+    starts = np.asarray([[1.0 - 2.0 * (w % 2), 0, 0] for w in range(8)],
+                        np.float32)
+    states = jax.vmap(lambda p: make_state(p[None, :], box))(
+        jnp.asarray(starts))
+    s2 = WalkerSampler(
+        system, states, ff.bind(system), cvs=[AxisPosition(0, 0, name="x")],
+        grid_spec=s1.grid_spec,
+        hills=HillSpec.create(W=0.1, stride=25, mode=WELL_TEMPERED,
+                              deltaT=6.0),
+        integrator_factory=lambda f: make_langevin_step(
+            f, system, dt=0.005, kT=0.6, gamma=5.0),
+        seed=5, initial_bias=seeded, add_hills=False,
+    )
+    out = s2.run(100)
+    assert np.array_equal(np.asarray(s2.bias.grid.V),
+                          np.asarray(seeded.grid.V))
+    assert int(s2.bias.n_hills) == int(seeded.n_hills)
+    assert all(float(np.max(np.abs(m["hill_height"]))) == 0.0 for m in out)
