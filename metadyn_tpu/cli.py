@@ -471,6 +471,26 @@ def cmd_run(args) -> int:
 
     n_steps = int(cfg["run"]["n_steps"])
     report = int(cfg["run"].get("report_every", n_steps))
+    # periodic grid snapshots during the run — the reference's
+    # ``dump_grid(fname, period)`` (SURVEY.md §3.5).  A literal ``{step}``
+    # in output.grid_file writes a numbered sequence (grid evolution /
+    # convergence analysis); otherwise the file is overwritten in place
+    # (a live restart point, like checkpoint_every)
+    grid_every = int(out_cfg.get("grid_every", 0))
+
+    def dump_bias_grid(step=None):
+        if not ("grid_file" in out_cfg and hasattr(sampler, "bias")
+                and hasattr(sampler.bias, "grid")):
+            return
+        path = out_cfg["grid_file"]
+        if step is not None and "{step}" in path:
+            path = path.format(step=step)
+        hills = getattr(sampler, "hills", None)
+        dump_grid(path, sampler.bias,
+                  mode=hills.mode if hills is not None else "flux_tempered",
+                  deltaT=float(hills.deltaT) if hills is not None else 1.0)
+        print(f"grid written to {path}", flush=True)
+
     done = 0
     while done < n_steps:
         todo = min(report, n_steps - done)
@@ -490,14 +510,10 @@ def cmd_run(args) -> int:
                             np.asarray(st.box.L), done)
         if ckpt_every and (done % ckpt_every == 0):
             save_ckpt()
+        if grid_every and (done % grid_every == 0) and done < n_steps:
+            dump_bias_grid(step=done)
     save_ckpt()
-    if "grid_file" in out_cfg and hasattr(sampler, "bias") \
-            and hasattr(sampler.bias, "grid"):
-        hills = getattr(sampler, "hills", None)
-        dump_grid(out_cfg["grid_file"], sampler.bias,
-                  mode=hills.mode if hills is not None else "flux_tempered",
-                  deltaT=float(hills.deltaT) if hills is not None else 1.0)
-        print(f"grid written to {out_cfg['grid_file']}")
+    dump_bias_grid(step=n_steps)
     return 0
 
 

@@ -111,6 +111,25 @@ def test_cli_restart_from_grid(tmp_path):
         main(["run", p3])
 
 
+def test_cli_grid_every_periodic_dumps(tmp_path):
+    """`output.grid_every` dumps the bias grid during the run (reference
+    ``dump_grid(fname, period)``, SURVEY.md §3.5); a `{step}` placeholder
+    writes a numbered sequence showing the bias build-up."""
+    from metadyn_tpu.io.grid_file import load_grid
+
+    p, cfg = _shrunk(
+        "examples/config1_lj_lamellar.yaml", tmp_path,
+        run={"n_steps": 250, "report_every": 125},
+        output={"grid_file": str(tmp_path / "g_{step}.npz"),
+                "grid_every": 125})
+    assert main(["run", p]) == 0
+    b1, _ = load_grid(str(tmp_path / "g_125.npz"))
+    b2, _ = load_grid(str(tmp_path / "g_250.npz"))
+    assert int(b1.n_hills) == 5 and int(b2.n_hills) == 10
+    dV = np.asarray(b2.grid.V) - np.asarray(b1.grid.V)
+    assert dV.min() > -1e-5 and dV.max() > 0.0  # bias only grows
+
+
 def test_cli_add_hills_false(tmp_path):
     """`metadynamics.add_hills: false` + `restart_from_grid` = frozen-bias
     production run (reference ``mode_metadynamics(add_hills=False)``): the
