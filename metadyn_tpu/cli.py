@@ -583,6 +583,28 @@ def cmd_fes(args) -> int:
     return 0
 
 
+def cmd_rdf(args) -> int:
+    """g(r) of a dumped trajectory — offline analysis like the reference
+    ecosystem's post-processing of GSD/DCD dumps."""
+    from .io.trajectory import read_dcd, read_trajectory
+    from .utils.analysis import rdf
+
+    read = read_dcd if args.traj.endswith(".dcd") else read_trajectory
+    d = read(args.traj)
+    pos, box_L = d["pos"][args.skip:], np.asarray(d["box_L"])
+    if box_L.ndim == 2:
+        box_L = box_L[args.skip:]
+    assert pos.shape[0] > 0, "no frames left after --skip"
+    r, g = rdf(pos, box_L, r_max=args.r_max, n_bins=args.bins)
+    if args.out.endswith(".npz"):
+        np.savez(args.out, r=r, g=g)
+    else:
+        np.savetxt(args.out, np.column_stack([r, g]),
+                   header="r g(r)")
+    print(f"rdf over {pos.shape[0]} frames -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="metadyn",
                                 description="TPU-native metadynamics MD")
@@ -610,6 +632,16 @@ def main(argv=None) -> int:
     fesp.add_argument("--out", default="fes.dat")
     fesp.add_argument("--mode", help="override the mode stored in the dump")
     fesp.add_argument("--kT", type=float, default=1.0)
+    rdfp = sub.add_parser(
+        "rdf", help="radial distribution function g(r) of a trajectory")
+    rdfp.add_argument("traj", help="trajectory (.dcd or .npz)")
+    rdfp.add_argument("--out", default="rdf.dat",
+                      help="output table: r, g(r)")
+    rdfp.add_argument("--bins", type=int, default=100)
+    rdfp.add_argument("--r-max", type=float, default=None,
+                      help="default: min(L)/2")
+    rdfp.add_argument("--skip", type=int, default=0,
+                      help="drop the first N frames (equilibration)")
     args = p.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)
@@ -617,6 +649,8 @@ def main(argv=None) -> int:
         return cmd_sum_hills(args)
     if args.cmd == "fes":
         return cmd_fes(args)
+    if args.cmd == "rdf":
+        return cmd_rdf(args)
     return 1
 
 

@@ -111,6 +111,24 @@ def test_cli_restart_from_grid(tmp_path):
         main(["run", p3])
 
 
+def test_cli_rdf(tmp_path):
+    """`metadyn rdf` computes g(r) from a dumped DCD trajectory — offline
+    analysis parity with the reference ecosystem's post-processing."""
+    p, cfg = _shrunk(
+        "examples/config1_lj_lamellar.yaml", tmp_path,
+        run={"n_steps": 250, "report_every": 125},
+        output={"trajectory": str(tmp_path / "t.dcd")})
+    assert main(["run", p]) == 0
+    out = str(tmp_path / "rdf.dat")
+    assert main(["rdf", cfg["output"]["trajectory"], "--out", out,
+                 "--bins", "40"]) == 0
+    tab = np.loadtxt(out)
+    assert tab.shape == (40, 2)
+    r, g = tab[:, 0], tab[:, 1]
+    # dense LJ fluid: excluded core and a nonzero first peak
+    assert g[r < 0.8].max() < 0.05 and g.max() > 1.2
+
+
 def test_cli_grid_every_periodic_dumps(tmp_path):
     """`output.grid_every` dumps the bias grid during the run (reference
     ``dump_grid(fname, period)``, SURVEY.md §3.5); a `{step}` placeholder

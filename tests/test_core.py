@@ -209,3 +209,43 @@ def test_xplor_smoothing_mode():
         np.testing.assert_allclose(float(c),
                                    -2.0 * (float(ep) - float(em)) / (2 * h),
                                    rtol=1e-2)
+
+
+def test_lj_rdf_matches_literature(key):
+    """Physics invariant (SURVEY.md §4.2): g(r) of the equilibrated LJ
+    fluid shows the literature structure — first peak at r ≈ 1.05–1.15 σ
+    with height ~1.8–3 at ρ*=0.8, T*=1.5 (Hansen–Verlet region), an
+    excluded core g(r < 0.85) ≈ 0, and decay to 1 at large r.  Also the
+    estimator oracle: an ideal-gas (random) configuration gives g ≡ 1."""
+    from metadyn_tpu.utils.analysis import rdf
+
+    rho, kT = 0.8, 1.5
+    a = (4.0 / rho) ** (1.0 / 3.0)
+    pos = fcc_lattice(4, a)                  # 256 particles
+    box = Box.cubic(4 * a)
+    system = make_system(pos.shape[0])
+    ff = ForceField(pair_params=lj_tables(1, r_cut=2.5),
+                    pair_kernel=lj_kernel, row_block=128)
+    force_apply = ff.bind(system)
+    state = force_apply(make_state(pos, box))
+    step = make_langevin_step(force_apply, system, dt=0.004, kT=kT, gamma=1.0)
+    state = jax.jit(lambda s: run_steps(step, s, key, 2000))(state)  # melt
+    frames = []
+    for i in range(6):
+        state = jax.jit(lambda s, k: run_steps(step, s, k, 200))(
+            state, jax.random.PRNGKey(40 + i))
+        frames.append(np.asarray(state.pos))
+    r, g = rdf(np.stack(frames), np.asarray(box.L), n_bins=80)
+
+    ipk = int(np.argmax(g))
+    assert 1.0 < r[ipk] < 1.2, (r[ipk], g[ipk])
+    assert 1.7 < g[ipk] < 3.2, g[ipk]
+    assert g[r < 0.85].max() < 0.05
+    tail = g[r > 0.8 * r.max()]
+    assert abs(tail.mean() - 1.0) < 0.15, tail.mean()
+
+    # estimator oracle: ideal gas is structureless
+    rng = np.random.default_rng(0)
+    ideal = rng.uniform(0, float(box.L[0]), (4, 256, 3))
+    r2, g2 = rdf(ideal, np.asarray(box.L), n_bins=40)
+    assert abs(g2[r2 > 0.5].mean() - 1.0) < 0.1
