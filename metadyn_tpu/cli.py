@@ -517,22 +517,27 @@ def cmd_run(args) -> int:
     return 0
 
 
-def _write_fes(path: str, coords, F) -> None:
-    """Write an FES table: one row per grid node, CV coords then F.
+def _write_fes(path: str, coords, F, err=None) -> None:
+    """Write an FES table: one row per grid node, CV coords then F (and
+    optionally a block-analysis error column).
 
     PLUMED ``sum_hills`` emits the same layout (fes.dat); ``.npz`` output
     keeps the N-d arrays instead.
     """
     F = np.asarray(F)
     if path.endswith(".npz"):
+        extra = {} if err is None else {"err": np.asarray(err)}
         np.savez(path, F=F, **{f"cv{i}": np.asarray(c)
-                               for i, c in enumerate(coords)})
+                               for i, c in enumerate(coords)}, **extra)
         return
     mesh = np.meshgrid(*coords, indexing="ij")
     cols = [m.ravel() for m in mesh] + [F.ravel()]
+    names = [f"cv{i}" for i in range(len(coords))] + ["free_energy"]
+    if err is not None:
+        cols.append(np.asarray(err).ravel())
+        names.append("error")
     with open(path, "w") as f:
-        f.write("#! FIELDS " + " ".join(
-            [f"cv{i}" for i in range(len(coords))] + ["free_energy"]) + "\n")
+        f.write("#! FIELDS " + " ".join(names) + "\n")
         np.savetxt(f, np.stack(cols, axis=1), fmt="%.8g")
 
 
@@ -554,9 +559,18 @@ def cmd_sum_hills(args) -> int:
     assert len(lo) == len(hi) == len(bins) == d, (
         f"hill file has {d} CVs; --min/--max/--bins must match")
     coords = [np.linspace(lo[i], hi[i], bins[i]) for i in range(d)]
-    F = fes_from_hills(args.hills, coords, mode=args.mode, kT=args.kT,
-                       deltaT=args.deltaT)
-    _write_fes(args.out, coords, F)
+    err = None
+    if args.blocks:
+        from .io.hill_log import fes_error_from_hills
+        F, err = fes_error_from_hills(
+            args.hills, coords, n_blocks=args.blocks, mode=args.mode,
+            kT=args.kT, deltaT=args.deltaT)
+        print(f"block analysis ({args.blocks} blocks): "
+              f"mean err {err.mean():.4g}, max {err.max():.4g}")
+    else:
+        F = fes_from_hills(args.hills, coords, mode=args.mode, kT=args.kT,
+                           deltaT=args.deltaT)
+    _write_fes(args.out, coords, F, err=err)
     print(f"FES ({'x'.join(str(b) for b in bins)}, "
           f"range {F.max() - F.min():.4g}) written to {args.out}")
     return 0
@@ -626,6 +640,10 @@ def main(argv=None) -> int:
                      choices=["standard", "well_tempered"])
     shp.add_argument("--kT", type=float, default=1.0)
     shp.add_argument("--deltaT", type=float, default=1.0)
+    shp.add_argument("--blocks", type=int, default=0,
+                     help="time-block convergence analysis: snapshot the "
+                          "cumulative FES N times, report the aligned "
+                          "across-block std-dev as an extra column")
     fesp = sub.add_parser(
         "fes", help="FES from a bias-grid dump (output.grid_file)")
     fesp.add_argument("grid", help="grid dump (.npz from dump_grid)")

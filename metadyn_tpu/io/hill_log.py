@@ -77,3 +77,38 @@ def fes_from_hills(path: str, grid_coords: list[np.ndarray],
         V += w * np.exp(-0.5 * expo)
     F = -V if mode == "standard" else -(kT + deltaT) / deltaT * V
     return F - F.min()
+
+
+def fes_error_from_hills(path: str, grid_coords: list[np.ndarray],
+                         n_blocks: int = 4, mode: str = "standard",
+                         kT: float = 1.0, deltaT: float = 1.0,
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Time-block FES convergence estimate (the standard ``sum_hills``
+    block analysis): snapshot the cumulative FES at ``n_blocks`` points in
+    hill time, align each snapshot (an FES is defined up to a constant),
+    and report the per-node standard deviation across snapshots alongside
+    the final FES.  A converged run shows a small, flat error field;
+    systematic drift (still-filling wells) shows up as localized error.
+
+    Returns ``(F, err)`` — the full-run FES (min-shifted) and the aligned
+    across-block std-dev on the same grid."""
+    h = read_hills(path)
+    n = h["step"].size
+    assert n >= n_blocks >= 2, (n, n_blocks)
+    mesh = np.meshgrid(*grid_coords, indexing="ij")
+    scale = -1.0 if mode == "standard" else -(kT + deltaT) / deltaT
+    bounds = [int(round(n * (k + 1) / n_blocks)) for k in range(n_blocks)]
+    V = np.zeros(mesh[0].shape)
+    snaps, i0 = [], 0
+    for b in bounds:
+        for c, sig, w in zip(h["center"][i0:b], h["sigma"][i0:b],
+                             h["height"][i0:b]):
+            expo = sum(((m - ci) / si) ** 2
+                       for m, ci, si in zip(mesh, c, sig))
+            V += w * np.exp(-0.5 * expo)
+        i0 = b
+        Fk = scale * V
+        snaps.append(Fk - Fk.mean())
+    err = np.std(np.stack(snaps), axis=0, ddof=1)
+    F = scale * V
+    return F - F.min(), err

@@ -111,6 +111,27 @@ def test_cli_restart_from_grid(tmp_path):
         main(["run", p3])
 
 
+def test_cli_sum_hills_block_error(tmp_path):
+    """`sum-hills --blocks N`: time-block convergence analysis appends an
+    aligned across-block std-dev column to the FES table."""
+    p, cfg = _shrunk("examples/config1_lj_lamellar.yaml", tmp_path,
+                     run={"n_steps": 250, "report_every": 250})
+    assert main(["run", p]) == 0
+    out = str(tmp_path / "fes_err.dat")
+    assert main(["sum-hills", cfg["output"]["hill_file"], "--out", out,
+                 "--bins", "51", "--blocks", "4"]) == 0
+    tab = np.loadtxt(out)
+    assert tab.shape == (51, 3)
+    err = tab[:, 2]
+    assert np.isfinite(err).all() and err.min() >= 0.0 and err.max() > 0.0
+    # npz output carries the err array too
+    outz = str(tmp_path / "fes_err.npz")
+    assert main(["sum-hills", cfg["output"]["hill_file"], "--out", outz,
+                 "--bins", "51", "--blocks", "4"]) == 0
+    z = np.load(outz)
+    assert z["err"].shape == (51,)
+
+
 def test_cli_rdf(tmp_path):
     """`metadyn rdf` computes g(r) from a dumped DCD trajectory — offline
     analysis parity with the reference ecosystem's post-processing."""
