@@ -346,6 +346,9 @@ def build_sampler(cfg: dict, resume: bool = False):
     # ``mode_metadynamics(add_hills=False)``) — usually combined with
     # restart_from_grid to sample under a converged static bias
     add_hills = bool(mcfg.get("add_hills", True))
+    # bias-force multiple-time-stepping (PLUMED MULTIPLE_TIME_STEP): CV
+    # sweeps + grid interpolation every k steps, bias force held between
+    bias_every = int(mcfg.get("bias_every", 1))
 
     if mode == "flux_tempered":
         assert add_hills, (
@@ -363,7 +366,8 @@ def build_sampler(cfg: dict, resume: bool = False):
             seed=int(cfg.get("seed", 0)), walls=walls,
             update_rule=mcfg.get("update_rule", "flux"),
             gain0=float(mcfg.get("gain0", 0.5)),
-            gain_halflife=int(mcfg.get("gain_halflife", 20)))
+            gain_halflife=int(mcfg.get("gain_halflife", 20)),
+            bias_every=bias_every)
         return sampler, cfg
 
     hills = HillSpec.create(
@@ -373,6 +377,8 @@ def build_sampler(cfg: dict, resume: bool = False):
     if n_walkers > 1:
         import jax as _jax
         assert grid is not None, "multi-walker mode needs a CV grid"
+        assert bias_every == 1, (
+            "bias_every is not supported in multi-walker mode yet")
         # replicate the initial state per walker with per-walker velocities
         def re_vel(w):
             r2 = np.random.default_rng(1000 + w)
@@ -422,6 +428,7 @@ def build_sampler(cfg: dict, resume: bool = False):
         hill_capacity=int(mcfg.get("hill_capacity", 4096)),
         chunks_per_block=int(cfg.get("chunks_per_block", 16)),
         add_hills=add_hills,
+        bias_every=bias_every,
     )
     return sampler, cfg
 

@@ -21,7 +21,9 @@ from .cv.base import CollectiveVariable
 from .bias.grid import GridSpec
 from .bias.metad import BiasState, WallSpec
 from .bias.flux import FLUX, FluxState, accumulate, update_bias, round_trips
-from .sampler import cv_stack, make_biased_force, _CallableEngine
+from .sampler import (
+    cv_stack, make_bias_force_parts, make_biased_force, _CallableEngine,
+)
 
 
 @struct.dataclass
@@ -51,7 +53,14 @@ class FluxTemperedSampler:
         gain0: float = 0.5,
         gain_halflife: int = 20,   # updates until the gain halves
         update_rule: str = FLUX,   # FLUX (reference method) or VISITS
+        bias_every: int = 1,
     ):
+        """``bias_every`` > 1 is the same bias-force multiple-time-stepping
+        as :class:`MetadSampler`: the CV sweep + ∂V/∂s run once per
+        ``bias_every`` MD steps with the bias force held in between (exact
+        pair/bond forces every step).  The visit/crossing histograms then
+        subsample at the same cadence — the update rule only consumes
+        h/⟨h⟩ and f/⟨f⟩ ratios, which subsampling preserves."""
         assert grid_spec.ndim == 1 and len(cvs) == 1, \
             "flux-tempered metadynamics supports exactly one CV"
         if not hasattr(engine, "force_into"):
@@ -66,6 +75,8 @@ class FluxTemperedSampler:
         self.bias = initial_bias if initial_bias is not None \
             else BiasState.zeros(grid_spec)
         self.biased_force = make_biased_force(engine, cvs, system, walls)
+        eval_bias, apply_force = make_bias_force_parts(
+            engine, cvs, system, walls)
 
         state, aux = engine.init(state)
         state = self.biased_force(state, aux, self.bias)
@@ -76,23 +87,40 @@ class FluxTemperedSampler:
 
         r = min(engine.rebuild_every, stride)
         assert stride % r == 0
+        assert r % bias_every == 0, (
+            f"bias_every={bias_every} must divide "
+            f"min(rebuild_every, stride)={r}")
         n_blocks = stride // r
 
         def chunk(carry: FluxCarry, bias: BiasState, _):
             def block(c, b):
                 st, ax, fx = c
                 st, ax = engine.rebuild(st, ax)
-                step_fn = integrator_factory(
-                    lambda s: self.biased_force(s, ax, bias))
 
-                def body(inner, i):
+                # one CV sweep per sub-chunk feeds BOTH the bias force and
+                # the visit/crossing histograms (pre-step positions — a
+                # one-step shift with identical statistics); the old path
+                # paid a second full CV traversal per step for the
+                # histogram, which at 1M-particle mesh-CV scale was ~1/3
+                # of the step budget
+                def sub(inner, j):
                     st, fx = inner
-                    k = jax.random.fold_in(carry.key, carry.step + b * r + i)
-                    st = step_fn(st, k)
-                    fx = accumulate(fx, grid_spec, cv_stack(cvs, st, system))
+                    g, dVds, s = eval_bias(st, ax, bias)
+                    fx = accumulate(fx, grid_spec, s)
+                    force_fn = lambda s2: apply_force(s2, ax, g, dVds)
+                    step_fn = integrator_factory(force_fn)
+
+                    def body(s2, i):
+                        k = jax.random.fold_in(
+                            carry.key,
+                            carry.step + b * r + j * bias_every + i)
+                        return step_fn(s2, k), None
+
+                    st, _ = jax.lax.scan(body, st, jnp.arange(bias_every))
                     return (st, fx), None
 
-                (st, fx), _ = jax.lax.scan(body, (st, fx), jnp.arange(r))
+                (st, fx), _ = jax.lax.scan(
+                    sub, (st, fx), jnp.arange(r // bias_every))
                 return (st, ax, fx), None
 
             (state, aux, flux), _ = jax.lax.scan(

@@ -95,8 +95,12 @@ def make_bias_force_parts(engine, cvs, system: System,
                           walls: WallSpec | None = None):
     """Split the biased force into ``(eval_bias, apply_force)``:
 
-      eval_bias(state, aux, bias) -> (g, dVds)   # the expensive CV sweeps
-      apply_force(state, aux, g, dVds) -> state  # engine force + held g
+      eval_bias(state, aux, bias) -> (g, dVds, s)  # the expensive CV sweeps
+      apply_force(state, aux, g, dVds) -> state    # engine force + held g
+
+    ``s`` (the CV values the sweep already computed) rides along so
+    callers that need them per evaluation — the flux sampler's on-device
+    visit/crossing histograms — don't pay a second CV traversal.
 
     :func:`make_biased_force` composes them per step; the multiple-time-
     stepping chunk (``bias_every`` > 1) calls ``eval_bias`` once per
@@ -160,18 +164,18 @@ def make_bias_force_parts(engine, cvs, system: System,
         if table:
             s, ctx = tbl_values(state, aux.nbr)
             dVds = grad_with_walls(bias, s)
-            return tbl_force(state, aux.nbr, ctx, dVds), dVds
+            return tbl_force(state, aux.nbr, ctx, dVds), dVds, s
         if fused:
             s, ctx = fused_values(state)
             dVds = grad_with_walls(bias, s)
-            return fused_force(state, ctx, dVds), dVds
+            return fused_force(state, ctx, dVds), dVds, s
         if analytic:
             s = cv_stack(cvs, state, system)
             dVds = grad_with_walls(bias, s)
             g = jnp.zeros_like(engine.positions(state))
             for i, cv in enumerate(cvs):
                 g = cv.accum_bias_force(state, system, dVds[i], g)
-            return g, dVds
+            return g, dVds, s
 
         def stacked(r):
             return cv_stack(cvs, engine.with_positions(state, r), system)
@@ -179,7 +183,7 @@ def make_bias_force_parts(engine, cvs, system: System,
         s, vjp = jax.vjp(stacked, engine.positions(state))
         dVds = grad_with_walls(bias, s)
         (g,) = vjp(dVds)
-        return -g, dVds
+        return -g, dVds, s
 
     def apply_force(state, aux, g, dVds):
         return add_bias_virial(
@@ -198,7 +202,7 @@ def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None
     eval_bias, apply_force = make_bias_force_parts(engine, cvs, system, walls)
 
     def force(state, aux, bias):
-        g, dVds = eval_bias(state, aux, bias)
+        g, dVds, _ = eval_bias(state, aux, bias)
         return apply_force(state, aux, g, dVds)
 
     return force
@@ -265,7 +269,7 @@ def make_stride_chunk(
             if bias_every > 1:
                 def sub(st, j):
                     with phase("cv_eval"):
-                        g, dVds = eval_bias(st, aux, bias)
+                        g, dVds, _ = eval_bias(st, aux, bias)
                     force_fn = lambda s2: apply_force(s2, aux, g, dVds)
                     step_fn = integrator_factory(force_fn)
 
@@ -393,7 +397,7 @@ class MetadSampler:
         self._bias_parts = make_bias_force_parts(engine, cvs, system, walls)
         _eval, _apply = self._bias_parts
         self.biased_force = lambda st, aux, bias: _apply(
-            st, aux, *_eval(st, aux, bias))
+            st, aux, *_eval(st, aux, bias)[:2])
         if initial_bias is not None:
             bias = initial_bias
         elif grid_spec is not None:

@@ -111,7 +111,7 @@ def test_flux_accumulate_and_update():
     assert V[0] < 0.0
 
 
-def _ft_sampler(kT, gamma=5.0, gain_halflife=20):
+def _ft_sampler(kT, gamma=5.0, gain_halflife=20, bias_every=1):
 
     def dw(pos, state, system):
         x = pos[0, 0]
@@ -126,7 +126,7 @@ def _ft_sampler(kT, gamma=5.0, gain_halflife=20):
         integrator_factory=lambda f: make_langevin_step(
             f, system, dt=0.005, kT=kT, gamma=gamma),
         kT=kT, stride=50, update_period=100, seed=0,
-        gain_halflife=gain_halflife,
+        gain_halflife=gain_halflife, bias_every=bias_every,
     )
 
 
@@ -169,6 +169,27 @@ def test_flux_tempered_double_well_fast():
     well = V[np.abs(np.abs(x) - 1.0) < 0.15].max()
     barrier = V[np.abs(x) < 0.15].max()
     assert well - barrier > 0.5, (well, barrier)
+    assert max(h["round_trips"] for h in s.history) >= 1
+
+
+def test_flux_tempered_bias_every_mts():
+    """Flux mode with bias-force multiple-time-stepping: the CV sweep runs
+    once per ``bias_every`` steps (the histograms subsample at the same
+    cadence — the update rule only consumes h/⟨h⟩, f/⟨f⟩ ratios) and the
+    bias still builds toward the wells like the per-step path."""
+    kT = 0.6
+    s = _ft_sampler(kT, bias_every=5)
+    s.run(100_000)  # 20 updates
+    x = s.grid_coords()
+    V = np.asarray(s.bias.grid.V)
+    assert np.all(np.isfinite(V))
+    well = V[np.abs(np.abs(x) - 1.0) < 0.15].max()
+    barrier = V[np.abs(x) < 0.15].max()
+    assert well - barrier > 0.5, (well, barrier)
+    # histogram subsampling: one count per CV evaluation, not per step
+    s.begin_measurement()
+    s.run(5_000)                       # one period = 50 × 100 steps
+    assert float(s._meas_h.sum()) == 5_000 / 5
     assert max(h["round_trips"] for h in s.history) >= 1
 
 
