@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--chains", type=int, default=65536)
     ap.add_argument("--chain-len", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20_000)
+    ap.add_argument("--bias-every", type=int, default=1,
+                    help="bias-force MTS: mesh-CV sweep every k steps")
     args = ap.parse_args()
     n = args.chains * args.chain_len
     rho = 0.85
@@ -123,7 +125,8 @@ def main():
         # short update periods keep the compiled program small (the
         # remote-compile service struggles with very long fused periods
         # at the 1M scale); more periods, same physics
-        kT=kT, stride=50, update_period=4, seed=0)
+        kT=kT, stride=50, update_period=4, seed=0,
+        bias_every=args.bias_every)
 
     t0 = time.time()
     done = 0
