@@ -58,8 +58,16 @@ def _build_particle_cvs(cvs_cfg, system, L, pos):
     return cvs
 
 
-def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system):
-    """Packed CV zoo: lamellar, mesh, steinhardt/q6, coordination, msd."""
+def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
+                      smesh=None, box_L=None):
+    """Packed CV zoo: lamellar, mesh, steinhardt/q6, coordination, msd.
+
+    With ``smesh`` (a ``"space"``-axis device mesh from
+    ``engine.spatial_devices``), the mesh CV becomes the distributed
+    slab-FFT ``ShardedPackedMesh``; lamellar/msd reductions are GSPMD-
+    sharded by XLA unchanged.  The order CVs (Pallas sweeps) are not
+    supported under spatial DD yet — they raise.
+    """
     from .cv.packed import PackedLamellar, PackedMesh, PackedMSD, \
         msd_reference_attrs
     from .cv.packed_order import PackedSteinhardtQl, PackedCoordination
@@ -73,15 +81,29 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system):
             extra_attrs[cv.attr_name] = np.asarray(
                 c.get("mode", [1.0] * system.n_types), np.float32)[types]
         elif kind == "mesh":
-            cv = PackedMesh.create(tuple(c["mesh"]), None, n_real=n,
-                                   k0=c["k0"], width=c.get("width", 0.5),
-                                   name=c["name"])
+            if smesh is not None:
+                from .parallel.mesh import ShardedPackedMesh
+                cv = ShardedPackedMesh.create(
+                    tuple(c["mesh"]), spec, smesh, n_real=n, k0=c["k0"],
+                    width=c.get("width", 0.5), box_L=box_L, name=c["name"])
+            else:
+                cv = PackedMesh.create(tuple(c["mesh"]), None, n_real=n,
+                                       k0=c["k0"], width=c.get("width", 0.5),
+                                       name=c["name"])
             extra_attrs[cv.attr_name] = np.asarray(
                 c.get("mode", [1.0] * system.n_types), np.float32)[types]
         elif kind in ("steinhardt", "q6"):
+            if smesh is not None:
+                raise ValueError(
+                    "cv kind 'steinhardt' is not supported with "
+                    "engine.spatial_devices yet (use lamellar/mesh/msd)")
             cv = PackedSteinhardtQl(spec=spec, r_cut=float(c["r_cut"]),
                                     l=int(c.get("l", 6)), name=c["name"])
         elif kind == "coordination":
+            if smesh is not None:
+                raise ValueError(
+                    "cv kind 'coordination' is not supported with "
+                    "engine.spatial_devices yet (use lamellar/mesh/msd)")
             cv = PackedCoordination(spec=spec, r0=float(c["r0"]),
                                     name=c["name"])
         elif kind == "msd":
@@ -276,14 +298,41 @@ def build_sampler(cfg: dict, resume: bool = False):
             fene_k=None if fene is None else float(fene["k"]),
             fene_r0=None if fene is None else float(fene["r0"]),
             uniform_sigma=eng_cfg.get("uniform_sigma"))
-        engine = PackedEngine(
-            spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
-            # NPT reads state.virial every step; WTE reads the energy
-            with_energy=(icfg.get("kind") == "npt_scr"
-                         or any(c["kind"] == "wte" for c in cvs_cfg)
-                         or bool(eng_cfg.get("with_energy", False))))
+        # spatial domain decomposition: engine.spatial_devices shards the
+        # cell grid over the first N devices (the mpirun/-nrank analog —
+        # one YAML key instead of a launcher flag)
+        sp_dev = int(eng_cfg.get("spatial_devices", 1) or 1)
+        smesh = None
+        if sp_dev > 1:
+            from jax.sharding import Mesh as _JaxMesh
+            from .parallel.spatial import SpatialPackedEngine
+            devs = jax.devices()
+            if len(devs) < sp_dev:
+                raise ValueError(
+                    f"engine.spatial_devices={sp_dev} but only "
+                    f"{len(devs)} devices are visible")
+            if icfg.get("kind") == "npt_scr" or any(
+                    c["kind"] == "wte" for c in cvs_cfg):
+                raise ValueError(
+                    "npt_scr / wte need the with_energy engine mode, which "
+                    "is not supported with engine.spatial_devices yet")
+            if n_walkers > 1:
+                raise ValueError(
+                    "mode: walkers and engine.spatial_devices are mutually "
+                    "exclusive for now (one device axis)")
+            smesh = _JaxMesh(np.asarray(devs[:sp_dev]), ("space",))
+            engine = SpatialPackedEngine(
+                spec, smesh,
+                rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+        else:
+            engine = PackedEngine(
+                spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
+                # NPT reads state.virial every step; WTE reads the energy
+                with_energy=(icfg.get("kind") == "npt_scr"
+                             or any(c["kind"] == "wte" for c in cvs_cfg)
+                             or bool(eng_cfg.get("with_energy", False))))
         cvs, extra_attrs = _build_packed_cvs(cvs_cfg, spec, n, types, pos,
-                                             system)
+                                             system, smesh=smesh, box_L=L)
         if fene is not None:
             assert bonds is not None, "fene engine config needs melt init"
             extra_attrs.update(bond_partner_attrs(bonds, n))
@@ -310,6 +359,27 @@ def build_sampler(cfg: dict, resume: bool = False):
 
     # --- metadynamics ----------------------------------------------------
     grid = _grid_from_cfg(cvs_cfg, mcfg)
+    # Fail loudly on a misconfigured grid: a start far outside the bias
+    # grid means clamped deposits at the edge node and — with wall_k —
+    # enormous wall forces through the CV gradient from step 1 (instant
+    # blowup that still exits rc=0).  The reference integrator errors on
+    # out-of-bounds CVs (SURVEY.md §3.1); so do we, at build time.
+    # wte is skipped: its value needs a force/energy pass we haven't run.
+    if grid is not None:
+        lo = np.asarray(grid.lo, np.float64)
+        hi = np.asarray(grid.hi, np.float64)
+        for d, (cv, c) in enumerate(zip(cvs, cvs_cfg)):
+            if c["kind"] == "wte":
+                continue
+            v = float(cv.value(state, system))
+            margin = 0.05 * (hi[d] - lo[d])
+            if v < lo[d] - margin or v > hi[d] + margin:
+                raise ValueError(
+                    f"initial value of CV '{c['name']}' is {v:.6g}, outside "
+                    f"its bias grid [{lo[d]:g}, {hi[d]:g}]. Deposits would "
+                    f"clamp to the edge node and walls (wall_k) would apply "
+                    f"huge forces from step 1 — fix grid.min/max for this "
+                    f"CV (or its normalization).")
     # restart_from_grid: seed the bias from a previous run's grid dump and
     # keep depositing (the reference's restart_from_grid/add_bias path,
     # SURVEY.md §3.5) — unlike --resume this restarts the MD state fresh
@@ -499,6 +569,7 @@ def cmd_run(args) -> int:
         print(f"grid written to {path}", flush=True)
 
     done = 0
+    warned_oog = False
     while done < n_steps:
         todo = min(report, n_steps - done)
         hist = sampler.run(todo)
@@ -510,6 +581,21 @@ def cmd_run(args) -> int:
         temp = np.asarray(m["temperature"])
         print(f"step {done}: T={np.mean(temp):.3f} "
               f"cv={cv.tolist()}", flush=True)
+        # a cell/neighbor-list overflow means pair forces were silently
+        # wrong — the run is invalid, refuse to continue (round-3 fix:
+        # this used to exit rc=0 with garbage physics)
+        if bool(np.any(np.asarray(m.get("nlist_overflow", False)))):
+            save_ckpt()
+            raise RuntimeError(
+                f"cell-list overflow by step {done}: forces are invalid. "
+                f"Raise engine.cap (or check for a blowup — e.g. a CV "
+                f"grid/wall misconfiguration; see the log file).")
+        if not warned_oog and bool(
+                np.any(np.asarray(m.get("cv_out_of_grid", False)))):
+            warned_oog = True
+            print(f"warning: a CV left its bias grid by step {done}; "
+                  f"deposits clamp to the edge node (widen grid.min/max "
+                  f"if this persists)", file=sys.stderr, flush=True)
         if traj is not None and isinstance(sampler, MetadSampler):
             st = sampler.state
             if hasattr(st, "pos"):

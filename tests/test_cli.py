@@ -231,12 +231,20 @@ def test_cli_config2_mesh_melt(tmp_path):
         engine={"cap": 64},
         cvs=[{"name": "sk", "kind": "mesh", "mesh": [16, 16, 16],
               "k0": 2.45, "width": 0.4, "mode": [1.0, -1.0],
-              "grid": {"min": 0.0, "max": 40.0, "num_points": 41,
-                       "sigma": 1.0}}],
+              # shrunk melt starts at S(k0) ~ 260 (round-3 fix: the old
+              # {0, 40} grid put the start far outside, so the edge wall
+              # blew the run up — silently, before the overflow check)
+              "grid": {"min": 0.0, "max": 1200.0, "num_points": 41,
+                       "sigma": 30.0}}],
         run={"n_steps": 200, "report_every": 200},
         metadynamics={"stride": 100})
     assert main(["run", p]) == 0
     assert os.path.exists(cfg["output"]["grid_file"])
+    # the run must be REAL physics now: no overflow, healthy temperature
+    import csv
+    rows = list(csv.DictReader(open(cfg["output"]["log_file"])))
+    assert all(r["nlist_overflow"] == "0" for r in rows)
+    assert 0.3 < float(rows[-1]["temperature"]) < 3.0
 
 
 @pytest.mark.smoke
@@ -348,3 +356,64 @@ def test_cli_checkpoint_resume(tmp_path):
     assert main(["run", p, "--resume"]) == 0
     b2, _ = load_grid(cfg["output"]["grid_file"])
     assert int(b2.n_hills) > int(b1.n_hills)
+
+
+@pytest.mark.smoke
+def test_cli_spatial_dd(tmp_path):
+    """engine.spatial_devices shards the packed cell grid over devices
+    straight from YAML — the reference's `mpirun -n N` spatial domain
+    decomposition as one config key (SURVEY.md §2b Communicator row).
+    Uses the mesh CV so the YAML path maps onto the distributed slab FFT
+    (lamellar-under-DD is covered by test_spatial's stepping
+    differential).  Builds ONCE and drives the sampler directly: the
+    spatial force tracing costs minutes on the 1-CPU suite host, and the
+    `main` run-loop plumbing is covered by the other CLI tests."""
+    import yaml as _yaml
+
+    cfg = dict(
+        system={"init": {"kind": "sc", "n_per_side": 5, "spacing": 2.4},
+                "kT": 1.0},
+        engine={"kind": "packed", "spatial_devices": 2, "skin": 0.5,
+                "rebuild_every": 2, "cap": 16,
+                "pair": {"kind": "lj", "r_cut": 2.5}},
+        integrator={"kind": "langevin", "dt": 0.004, "gamma": 1.0},
+        cvs=[{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8], "k0": 1.57,
+              "width": 0.5, "mode": [1.0],
+              # sc lattice starts at S(k0) ~ 37; leave headroom so biased
+              # excursions stay on-grid
+              "grid": {"min": 0.0, "max": 150.0, "num_points": 31,
+                       "sigma": 7.5}}],
+        metadynamics={"W": 0.3, "stride": 10, "mode": "well_tempered",
+                      "deltaT": 5.0},
+        run={"n_steps": 20, "report_every": 20},
+        chunks_per_block=1,
+        output={"hill_file": str(tmp_path / "HILLS"),
+                "grid_file": str(tmp_path / "g.npz")})
+    p = tmp_path / "spatial.yaml"
+    with open(p, "w") as f:
+        _yaml.safe_dump(cfg, f)
+
+    from metadyn_tpu.cli import build_sampler
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.mesh import ShardedPackedMesh
+    sampler, _ = build_sampler(cfg)
+    assert isinstance(sampler.engine, SpatialPackedEngine)
+    assert isinstance(sampler.cvs[0], ShardedPackedMesh)
+    hist = sampler.run(20)
+    m = hist[-1]
+    assert np.isfinite(np.asarray(m["cv"])).all()
+    assert not bool(m["nlist_overflow"])
+    assert int(sampler.bias.n_hills) == 2
+    assert len(open(tmp_path / "HILLS").readlines()) >= 3  # header + 2 hills
+
+    # unsupported combos fail loudly, before any compile
+    bad = dict(cfg)
+    bad["cvs"] = [{"name": "q6", "kind": "steinhardt", "r_cut": 1.5,
+                   "grid": {"min": 0.0, "max": 0.6, "num_points": 11,
+                            "sigma": 0.02}}]
+    with pytest.raises(ValueError, match="steinhardt"):
+        build_sampler(bad)
+    bad2 = _yaml.safe_load(open(p))
+    bad2["metadynamics"]["n_walkers"] = 2
+    with pytest.raises(ValueError, match="mutually"):
+        build_sampler(bad2)
