@@ -78,8 +78,18 @@ class FluxTemperedSampler:
         eval_bias, apply_force = make_bias_force_parts(
             engine, cvs, system, walls)
 
-        state, aux = engine.init(state)
-        state = self.biased_force(state, aux, self.bias)
+        # prime inside one jit (eager op-by-op dispatch dominates
+        # construction on CPU meshes / remote-TPU tunnels); engines with
+        # host-side init asserts fall back to the eager path
+        def _prime(st, b):
+            st2, aux2 = engine.init(st)
+            return self.biased_force(st2, aux2, b), aux2
+
+        try:
+            state, aux = jax.jit(_prime)(state, self.bias)
+        except jax.errors.ConcretizationTypeError:
+            state, aux = engine.init(state)
+            state = self.biased_force(state, aux, self.bias)
         self.carry = FluxCarry(state=state, aux=aux,
                                flux=FluxState.zeros(grid_spec),
                                key=jax.random.PRNGKey(seed),

@@ -118,7 +118,15 @@ class PackedSpec:
         n_cells = int(np.prod(cpd))
         if cap is None:
             mean_occ = n_particles / n_cells
-            cap = max(4, int(np.ceil(mean_occ * 2.2)))
+            # Poisson-tail sizing: multiplicative headroom alone underflows
+            # at low mean occupancy (mean 2 × 2.2 → cap 5, which a
+            # clustered melt overflows within steps).  mean + 5√mean + 4
+            # puts per-cell overflow odds below ~1e-6 even for
+            # inhomogeneous fluids; rounded up to a multiple of 4 for
+            # sublane alignment.  Perf-critical runs should still set cap
+            # from measured occupancy (bench.py does).
+            est = mean_occ + 5.0 * np.sqrt(mean_occ) + 4.0
+            cap = int(np.ceil(est / 4.0) * 4)
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
                    fene_k=fene_k, fene_r0=fene_r0,

@@ -236,13 +236,17 @@ class WalkerSampler:
         self._block = chunks_per_block
         self._run_block = jax.jit(run_block, static_argnums=5)
 
-        # init per-walker forces eagerly (vmapped init)
+        # init per-walker forces (vmapped, in ONE jit — eager dispatch of
+        # the vmapped init is op-by-op and dominates construction time)
         def init_one(st):
             st, aux = engine.init(st)
             st = make_biased_force(engine, cvs, system, walls)(st, aux, bias)
             return st, aux
 
-        states, auxs = jax.vmap(init_one)(states)
+        try:
+            states, auxs = jax.jit(jax.vmap(init_one))(states)
+        except jax.errors.ConcretizationTypeError:
+            states, auxs = jax.vmap(init_one)(states)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(seed), jnp.arange(self.n_walkers))
         self.states = states

@@ -406,9 +406,21 @@ class MetadSampler:
             bias = HillListBias.create(hill_sigma, capacity=hill_capacity,
                                        spill_spec=spill_grid)
 
-        # prime aux + forces at the initial positions (with any restart bias)
-        state, aux = engine.init(state)
-        state = self.biased_force(state, aux, bias)
+        # prime aux + forces at the initial positions (with any restart
+        # bias) — inside ONE jit: eagerly this dispatches hundreds of tiny
+        # ops (each a compile on a CPU device mesh, or a ~10 s round-trip
+        # through a remote-TPU tunnel), dominating construction time.
+        # Engines whose init() runs host-side shape asserts (nbr_table)
+        # cannot trace — fall back to the eager path for those.
+        def _prime(st, b):
+            st2, aux2 = engine.init(st)
+            return self.biased_force(st2, aux2, b), aux2
+
+        try:
+            state, aux = jax.jit(_prime)(state, bias)
+        except jax.errors.ConcretizationTypeError:
+            state, aux = engine.init(state)
+            state = self.biased_force(state, aux, bias)
 
         self.carry = SamplerCarry(
             state=state, bias=bias, aux=aux,
