@@ -87,7 +87,8 @@ class FluxTemperedSampler:
 
         try:
             state, aux = jax.jit(_prime)(state, self.bias)
-        except jax.errors.ConcretizationTypeError:
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
             state, aux = engine.init(state)
             state = self.biased_force(state, aux, self.bias)
         self.carry = FluxCarry(state=state, aux=aux,

@@ -245,7 +245,8 @@ class WalkerSampler:
 
         try:
             states, auxs = jax.jit(jax.vmap(init_one))(states)
-        except jax.errors.ConcretizationTypeError:
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
             states, auxs = jax.vmap(init_one)(states)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(seed), jnp.arange(self.n_walkers))

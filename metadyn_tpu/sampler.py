@@ -418,7 +418,8 @@ class MetadSampler:
 
         try:
             state, aux = jax.jit(_prime)(state, bias)
-        except jax.errors.ConcretizationTypeError:
+        except (jax.errors.ConcretizationTypeError,
+                jax.errors.TracerArrayConversionError):
             state, aux = engine.init(state)
             state = self.biased_force(state, aux, bias)
 
