@@ -22,9 +22,10 @@ import jax  # noqa: E402
 # enough in this container.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the suite is compile-bound on this 1-CPU box
-# (a cold full run spends most of its ~55 min in XLA), and HLO-keyed cache
-# entries are safe across code edits (changed graphs simply miss).
+# Persistent compile cache: the suite is compile/trace-bound on this
+# 1-CPU box (full run ~27 min, mostly XLA + shard_map tracing), and
+# HLO-keyed cache entries are safe across code edits (changed graphs
+# simply miss).
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
