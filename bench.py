@@ -96,6 +96,9 @@ def generate_snapshot():
 
 def main():
     t00 = time.time()
+    import os
+    if os.environ.get("BENCH_FORCE_FAIL"):  # retry-path test hook
+        raise RuntimeError("injected failure (BENCH_FORCE_FAIL)")
     if SNAP.exists():
         d = np.load(SNAP)
         liq_pos, liq_vel, L = d["pos"], d["vel"], float(d["L"])
@@ -196,5 +199,32 @@ def main():
     return 0
 
 
+def _main_with_retry():
+    """Run main(); on an unexpected exception, re-exec ONCE.
+
+    The axon TPU tunnel can drop an RPC mid-run (observed in round 3);
+    a re-exec gets a fresh PJRT client, which an in-process retry does
+    not.  The warm compile cache makes the second attempt ~1.5 min, so
+    one retry still fits the driver's bench time budget.  Physics-invalid
+    runs exit through main()'s own honesty guard and are NOT retried
+    blindly — they return normally with the explicit zero record.
+    """
+    import os
+    import traceback
+    try:
+        return main()
+    except Exception:
+        traceback.print_exc()
+        if os.environ.get("BENCH_RETRIED"):
+            print("bench: failed again after retry; giving up",
+                  file=sys.stderr)
+            return 1
+        print("bench: transient failure; re-executing once for a fresh "
+              "PJRT client...", file=sys.stderr)
+        os.environ["BENCH_RETRIED"] = "1"
+        time.sleep(15)
+        os.execv(sys.executable, [sys.executable] + list(sys.argv))
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(_main_with_retry())
