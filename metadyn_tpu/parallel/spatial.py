@@ -44,6 +44,20 @@ the collectives for the CV partial sums (the reference's
 protocol, so ``MetadSampler`` runs biased MD under the ``"space"`` axis
 unchanged — integrate + ghost exchange + migration + CV psum + hill
 deposit, end-to-end (the reference's full DD step loop, SURVEY.md §3.1).
+
+Why 1-D slabs and not the reference's 3-D sub-boxes: TPU ICI is a
+torus, so a 1-D slab decomposition maps every halo transfer onto a
+single nearest-neighbor ``ppermute`` per side — the cheapest collective
+the fabric offers — and migration needs no corner/edge exchanges (26
+neighbor messages per step in a 3-D MPI decomposition collapse to 2).
+The cost is halo volume: with ``cx`` x-planes over ``ndev`` devices the
+ghost fraction is ``2·ndev/cx`` (≈25% at 1M particles on 8 devices,
+34³ cells), where 3-D sub-boxes would scale it as the surface/volume
+ratio.  For the pod-slice sizes this framework targets (≤ ~32 chips on
+a side of the physical torus) slabs stay ahead on wall clock because
+each exchanged plane is one contiguous (cap, 1, cy, cz) block — no
+gather/pack step, no corner cases; a 2-D/3-D mesh split of the cell
+grid is the natural extension if chip counts ever exceed ``cx``.
 """
 from __future__ import annotations
 
