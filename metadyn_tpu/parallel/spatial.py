@@ -77,11 +77,25 @@ from ..ops.packed import (
 )
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
+def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
+    """shard_map with optional partial-manual axes.
+
+    ``mesh=None`` + ``axis_names={...}`` builds a NESTED island: the mesh
+    resolves from the enclosing shard_map's context at call time and only
+    ``axis_names`` become manual here — how the spatial islands run inside
+    an outer ``"walkers"`` shard_map (walkers x space product meshes).
+    """
     if hasattr(jax, "shard_map"):
-        return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+        kw = {}
+        if mesh is not None:
+            kw["mesh"] = mesh
+        if axis_names is not None:
+            kw["axis_names"] = frozenset(axis_names)
+        return jax.shard_map(fn, in_specs=in_specs, out_specs=out_specs,
+                             **kw)
     from jax.experimental.shard_map import shard_map as sm
+    assert mesh is not None and axis_names is None, (
+        "nested/partial-manual shard_map needs jax.shard_map (axis_names)")
     return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
@@ -105,13 +119,17 @@ def _force_attr_names(spec: PackedSpec) -> list[str]:
     return names
 
 
-def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
+def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
+                          nested: bool = False):
     """Build ``force(state) -> state`` with the cell grid sharded along x.
 
     ``state`` holds GLOBAL (cap, C)-flat slot arrays; under ``jit`` +
     ``shard_map`` each device touches only its x-slab plus two ghost
     planes.  Bonds supported (ghost planes carry pid + FENE partner
-    attrs).  Requires ``cx % n_dev == 0``.
+    attrs).  Requires ``cx % n_dev == 0``.  ``nested=True`` builds the
+    island for use INSIDE an enclosing shard_map (e.g. over a
+    ``"walkers"`` axis of the same mesh): only ``axis`` goes manual and
+    the mesh resolves from the calling context.
     """
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
@@ -132,10 +150,13 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
     interior = jnp.asarray(interior.reshape(-1))
     attr_names = _force_attr_names(spec)
 
-    def local_force(r, pid, attrs, box_L):
+    def local_force(r, pid, attrs, box_L, shard_ix):
         """Per-device body: r (3, cap, C_l), pid (cap, C_l) i32,
         attrs dict of (cap, C_l)."""
-        idx = jax.lax.axis_index(axis)
+        # shard index arrives as a P(axis)-sharded iota rather than
+        # jax.lax.axis_index: axis_index's partition-id lowering breaks
+        # inside a NESTED shard_map (it re-binds the parent's manual axis)
+        idx = shard_ix[0]
         Lx = box_L[0]
 
         # one stacked halo exchange for all columns
@@ -178,25 +199,28 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
     # the flat slot axis is cap-major/C-minor, so sharding must apply to
     # the (cap, C) VIEW along C (contiguous chunks of C are x-slabs)
     sharded = _shard_map(
-        local_force, mesh,
+        local_force, None if nested else mesh,
         in_specs=(P(None, None, axis), P(None, axis),
-                  {k: P(None, axis) for k in attr_names}, P()),
+                  {k: P(None, axis) for k in attr_names}, P(), P(axis)),
         out_specs=(P(None, None, axis), P(), P()),
+        axis_names=(axis,) if nested else None,
     )
+    shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
 
     def force(state: PackedState) -> PackedState:
         f, e, w = sharded(state.r.reshape(3, cap, C),
                           state.pid.reshape(cap, C),
                           {k: state.attrs[k].reshape(cap, C)
                            for k in attr_names},
-                          state.box.L)
+                          state.box.L, shard_iota)
         return state.replace(f=f.reshape(3, cap * C),
                              potential_energy=e, virial=w)
 
     return force
 
 
-def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
+def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
+                        nested: bool = False):
     """Sharded incremental repack: slot migration with ghost-plane
     ownership handoff; no global repack (see module docstring).
 
@@ -204,6 +228,7 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
     slot arrays.  ``bad`` is True iff the global particle count changed
     (a particle moved >1 cell between rebuilds, or a cell overflowed its
     capacity) — the sharded analog of ``repack_incremental``'s flag.
+    ``nested``: see :func:`make_sharded_lj_force`.
     """
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
@@ -220,9 +245,9 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
     ex, ey, ez = np.unravel_index(np.arange(C_e), (cx_e, cy, cz))
     ex = ex.astype(np.int32)
 
-    def local_repack(r, v, f, im, pid, typ, attrs, box_L):
+    def local_repack(r, v, f, im, pid, typ, attrs, box_L, shard_ix):
         """Per-device body; all arrays (cap, C_l) (r/v/f/im: (3, cap, C_l))."""
-        idx = jax.lax.axis_index(axis)
+        idx = shard_ix[0]      # P(axis)-sharded iota; see local_force
         L = box_L
         attr_keys = sorted(attrs.keys())
 
@@ -353,21 +378,26 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space"):
         return (
             (P(None, None, axis),) * 4      # r, v, f, image
             + (P(None, axis),) * 2          # pid, typ
-            + (adict, P()),                 # attrs, box_L
+            + (adict, P(), P(axis)),        # attrs, box_L, shard iota
             (P(None, None, axis),) * 4 + (P(None, axis),) * 2
             + ({k: P(None, axis) for k in attrs_keys}, P(), P()),
         )
 
+    shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
+
     def repack(state: PackedState):
         keys = sorted(state.attrs.keys())
         in_specs, out_specs = specs_for(keys)
-        fn = _shard_map(local_repack, mesh, in_specs, out_specs)
+        fn = _shard_map(local_repack, None if nested else mesh,
+                        in_specs, out_specs,
+                        axis_names=(axis,) if nested else None)
         view2 = lambda a: a.reshape(cap, C)
         view3 = lambda a: a.reshape(3, cap, C)
         r, v, f, im, pid, typ, attrs, bad, slot_of = fn(
             view3(state.r), view3(state.v), view3(state.f),
             view3(state.image), view2(state.pid), view2(state.typ),
-            {k: view2(state.attrs[k]) for k in keys}, state.box.L)
+            {k: view2(state.attrs[k]) for k in keys}, state.box.L,
+            shard_iota)
         flat3 = lambda a: a.reshape(3, cap * C)
         r = flat3(r)
         return state.replace(
@@ -392,13 +422,22 @@ class SpatialPackedEngine(PackedEngine):
     """
 
     def __init__(self, spec: PackedSpec, mesh: Mesh, axis: str = "space",
-                 rebuild_every: int = 1, mass: float = 1.0):
+                 rebuild_every: int = 1, mass: float = 1.0,
+                 nested: bool = False):
+        """``nested=True`` builds the halo islands for use inside an
+        enclosing shard_map over another axis of ``mesh`` (the reference's
+        ``mpirun -n W*S --nrank W`` — walker partitions each internally
+        domain-decomposed): pass the full product mesh here and the same
+        mesh to :class:`~metadyn_tpu.parallel.walkers.WalkerSampler`."""
         super().__init__(spec, rebuild_every=rebuild_every,
                          use_pallas=False, mass=mass)
         self.mesh = mesh
         self.axis = axis
-        sharded_force = make_sharded_lj_force(spec, mesh, axis)
-        self._sharded_repack = make_sharded_repack(spec, mesh, axis)
+        self._nested_islands = nested
+        sharded_force = make_sharded_lj_force(spec, mesh, axis,
+                                              nested=nested)
+        self._sharded_repack = make_sharded_repack(spec, mesh, axis,
+                                                   nested=nested)
         self._force = lambda st, sp: sharded_force(st)
         self._force_e = lambda st, sp: sharded_force(st)
 

@@ -32,11 +32,20 @@ from ..io.hill_log import HillLog
 from ..sampler import cv_stack, make_biased_force, _CallableEngine
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
+def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
+    """shard_map; ``axis_names`` selects partial-manual axes (used when
+    ``mesh`` carries more axes than ``"walkers"`` — the walkers x space
+    product, where ``"space"`` stays auto here and goes manual inside the
+    spatial engine's nested islands)."""
     if hasattr(jax, "shard_map"):
+        kw = {}
+        if axis_names is not None:
+            kw["axis_names"] = frozenset(axis_names)
         return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs)
+                             out_specs=out_specs, **kw)
     from jax.experimental.shard_map import shard_map as sm
+    assert axis_names is None, (
+        "partial-manual shard_map needs jax.shard_map (axis_names)")
     return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
@@ -200,10 +209,14 @@ class WalkerSampler:
                     new_bias, expand(hill), expand(metrics), hist)
 
         wspec = P("walkers")
+        # product meshes (walkers x space): only "walkers" goes manual
+        # here; the spatial engine's nested islands manualize "space"
+        manual = (("walkers",) if len(self.mesh.axis_names) > 1 else None)
         run_chunk = _shard_map(
             run_one, self.mesh,
             in_specs=(wspec, wspec, wspec, P(), P()),
             out_specs=(wspec, wspec, wspec, P(), wspec, wspec, P()),
+            axis_names=manual,
         )
 
         # chunked host loop (MetadSampler parity): one dispatch covers
@@ -243,11 +256,25 @@ class WalkerSampler:
             st = make_biased_force(engine, cvs, system, walls)(st, aux, bias)
             return st, aux
 
-        try:
-            states, auxs = jax.jit(jax.vmap(init_one))(states)
-        except (jax.errors.ConcretizationTypeError,
-                jax.errors.TracerArrayConversionError):
-            states, auxs = jax.vmap(init_one)(states)
+        if getattr(engine, "_nested_islands", False):
+            # spatial engine under the walker axis: its halo islands can't
+            # be vmapped — init each walker inside the same walker
+            # shard_map the run path uses
+            def init_w(sts):
+                st = jax.tree.map(lambda x: x[0], sts)
+                st, aux = init_one(st)
+                expand = lambda t: jax.tree.map(lambda x: x[None], t)
+                return expand(st), expand(aux)
+
+            init_fn = _shard_map(init_w, self.mesh, (wspec,),
+                                 (wspec, wspec), axis_names=manual)
+            states, auxs = jax.jit(init_fn)(states)
+        else:
+            try:
+                states, auxs = jax.jit(jax.vmap(init_one))(states)
+            except (jax.errors.ConcretizationTypeError,
+                    jax.errors.TracerArrayConversionError):
+                states, auxs = jax.vmap(init_one)(states)
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(seed), jnp.arange(self.n_walkers))
         self.states = states

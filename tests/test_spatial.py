@@ -295,3 +295,85 @@ def test_mesh_cv_distributed_fft():
     assert "all_to_all" in hlo
     assert "manual_computation" in hlo          # shard_map island present
     assert "4x32x32" in hlo, "FFT operates on the full mesh, not a slab"
+
+
+@pytest.mark.smoke
+def test_walkers_times_space_product_mesh():
+    """Walkers x spatial-DD product mesh (the reference's
+    ``mpirun -n W*S --nrank W``: W walker partitions, each internally
+    domain-decomposed over S ranks — SURVEY.md §2b Communicator + MPI
+    partitions rows).  2 walkers x 2 x-shards on 4 CPU devices: the
+    WalkerSampler runs its stride chunk manual over "walkers" while the
+    SpatialPackedEngine's nested halo islands go manual over "space".
+    Must reproduce the walkers-only run (PackedEngine on a 2-device
+    mesh) — same keys, same physics — to f32 reduction-order noise,
+    with the shared bias grid BITWISE identical."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.walkers import WalkerSampler
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+
+    L = 6 * 3.0                      # cx = 6 cells: divisible by 2 shards
+    g = 7
+    sp = L / g
+    sites = np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3) * sp - L / 2 + 0.6
+    rng = np.random.default_rng(0)
+    pos = (sites + rng.uniform(-0.1, 0.1, sites.shape)).astype(np.float32)
+    n = pos.shape[0]
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False)
+    cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="lam")
+    amps = np.ones(n, np.float32)
+    system = make_system(n)
+
+    def pack_one(engine, w):
+        r = np.random.default_rng(100 + w)
+        vel = r.normal(0, 1.0, (n, 3)).astype(np.float32)
+        vel -= vel.mean(axis=0)
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32), vel=vel,
+            extra_attrs={cv.attr_name: amps})
+        assert not bool(ovf)
+        return st
+
+    def build(engine, mesh):
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[pack_one(engine, w) for w in range(2)])
+        return WalkerSampler(
+            system, states, engine, cvs=[cv],
+            grid_spec=GridSpec.create([-0.5], [0.5], [51], [0.02]),
+            hills=HillSpec.create(W=0.5, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.002, kT=1.0, gamma=1.0),
+            seed=0, chunks_per_block=1, mesh=mesh)
+
+    devs = np.asarray(jax.devices())
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False),
+                  Mesh(devs[:2], ("walkers",)))
+    h_ref = s_ref.run(50)
+
+    mesh2 = Mesh(devs[:4].reshape(2, 2), ("walkers", "space"))
+    s2 = build(SpatialPackedEngine(spec, mesh2, rebuild_every=5,
+                                   nested=True), mesh2)
+    h2 = s2.run(50)
+
+    assert int(s2.bias.n_hills) == int(s_ref.bias.n_hills) == 4
+    # hill deposits see space-psummed CVs: grids agree bitwise
+    np.testing.assert_array_equal(np.asarray(s2.bias.grid.V),
+                                  np.asarray(s_ref.bias.grid.V))
+    m_ref, m2 = h_ref[-1], h2[-1]
+    assert not np.any(np.asarray(m2["nlist_overflow"]))
+    np.testing.assert_allclose(np.asarray(m2["cv"]),
+                               np.asarray(m_ref["cv"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m2["potential_energy"]),
+                               np.asarray(m_ref["potential_energy"]),
+                               rtol=1e-5)
