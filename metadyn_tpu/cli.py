@@ -285,6 +285,7 @@ def build_sampler(cfg: dict, resume: bool = False):
     mcfg = cfg["metadynamics"]
     mode = mcfg.get("mode", "standard")
     n_walkers = int(mcfg.get("n_walkers", 1))
+    wmesh = None          # walkers x space product mesh (set below)
 
     if eng_cfg["kind"] == "packed":
         r_cut = float(pair.get("r_cut", 2.0 ** (1 / 6)
@@ -317,13 +318,34 @@ def build_sampler(cfg: dict, resume: bool = False):
                     "npt_scr / wte need the with_energy engine mode, which "
                     "is not supported with engine.spatial_devices yet")
             if n_walkers > 1:
-                raise ValueError(
-                    "mode: walkers and engine.spatial_devices are mutually "
-                    "exclusive for now (one device axis)")
-            smesh = _JaxMesh(np.asarray(devs[:sp_dev]), ("space",))
-            engine = SpatialPackedEngine(
-                spec, smesh,
-                rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+                # product mesh: n_walkers partitions, each domain-
+                # decomposed over spatial_devices shards — the reference's
+                # ``mpirun -n W*S --nrank W``.  The walker chunk goes
+                # manual over "walkers"; the engine's nested halo islands
+                # manualize "space" (parallel/spatial.py).
+                need = n_walkers * sp_dev
+                if len(devs) < need:
+                    raise ValueError(
+                        f"{n_walkers} walkers x {sp_dev} spatial shards "
+                        f"need {need} devices, have {len(devs)}")
+                bad_kinds = {c["kind"] for c in cvs_cfg} - {"lamellar",
+                                                            "msd"}
+                if bad_kinds:
+                    raise ValueError(
+                        f"cv kinds {sorted(bad_kinds)} are not supported "
+                        "on a walkers x space product mesh yet (use "
+                        "lamellar/msd)")
+                wmesh = _JaxMesh(
+                    np.asarray(devs[:need]).reshape(n_walkers, sp_dev),
+                    ("walkers", "space"))
+                engine = SpatialPackedEngine(
+                    spec, wmesh, nested=True,
+                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+            else:
+                smesh = _JaxMesh(np.asarray(devs[:sp_dev]), ("space",))
+                engine = SpatialPackedEngine(
+                    spec, smesh,
+                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
         else:
             engine = PackedEngine(
                 spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
@@ -478,7 +500,8 @@ def build_sampler(cfg: dict, resume: bool = False):
             system, states, engine, cvs=cvs, grid_spec=grid, hills=hills,
             initial_bias=initial_bias,
             integrator_factory=integ,
-            mesh=Mesh(np.asarray(devs[:n_walkers]), ("walkers",)),
+            mesh=(wmesh if wmesh is not None
+                  else Mesh(np.asarray(devs[:n_walkers]), ("walkers",))),
             seed=int(cfg.get("seed", 0)), walls=walls,
             hill_file=out_cfg.get("hill_file"),
             overwrite=hill_overwrite,

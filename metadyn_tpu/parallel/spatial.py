@@ -423,17 +423,19 @@ class SpatialPackedEngine(PackedEngine):
 
     def __init__(self, spec: PackedSpec, mesh: Mesh, axis: str = "space",
                  rebuild_every: int = 1, mass: float = 1.0,
-                 nested: bool = False):
+                 nested: bool = False, walker_axis: str = "walkers"):
         """``nested=True`` builds the halo islands for use inside an
-        enclosing shard_map over another axis of ``mesh`` (the reference's
-        ``mpirun -n W*S --nrank W`` — walker partitions each internally
-        domain-decomposed): pass the full product mesh here and the same
-        mesh to :class:`~metadyn_tpu.parallel.walkers.WalkerSampler`."""
+        enclosing shard_map over ``walker_axis`` of ``mesh`` (the
+        reference's ``mpirun -n W*S --nrank W`` — walker partitions each
+        internally domain-decomposed): pass the full product mesh here and
+        the same mesh to
+        :class:`~metadyn_tpu.parallel.walkers.WalkerSampler`."""
         super().__init__(spec, rebuild_every=rebuild_every,
                          use_pallas=False, mass=mass)
         self.mesh = mesh
         self.axis = axis
         self._nested_islands = nested
+        self._walker_axis = walker_axis
         sharded_force = make_sharded_lj_force(spec, mesh, axis,
                                               nested=nested)
         self._sharded_repack = make_sharded_repack(spec, mesh, axis,
@@ -446,6 +448,16 @@ class SpatialPackedEngine(PackedEngine):
         # all shards), so every device takes the same cond branch and the
         # collectives inside the sharded repack line up
         need = needs_repack(state, self.spec)
+        if self._nested_islands:
+            # product meshes: the decision must ALSO be uniform across
+            # walkers — the repack's space-ring collectives rendezvous
+            # over every device of the op, so a walker whose trigger
+            # fires while another's doesn't would deadlock the fused
+            # collective.  Repacking a walker a few steps early is exact
+            # (the repack is a no-op reassignment then); a diverged
+            # branch is a hang.
+            need = jax.lax.pmax(need.astype(jnp.int32),
+                                self._walker_axis) > 0
         state, bad = jax.lax.cond(
             need, self._sharded_repack, lambda st: (st, st.pid[0] < -1),
             state)

@@ -413,7 +413,58 @@ def test_cli_spatial_dd(tmp_path):
                             "sigma": 0.02}}]
     with pytest.raises(ValueError, match="steinhardt"):
         build_sampler(bad)
+    # walkers x spatial is now a supported product mesh, but the mesh CV
+    # isn't available on it yet — the combo must still fail loudly
     bad2 = _yaml.safe_load(open(p))
     bad2["metadynamics"]["n_walkers"] = 2
-    with pytest.raises(ValueError, match="mutually"):
+    with pytest.raises(ValueError, match="product mesh"):
         build_sampler(bad2)
+
+
+def test_cli_walkers_times_spatial(tmp_path):
+    """metadynamics.n_walkers together with engine.spatial_devices builds
+    the walkers x space product mesh from YAML — the reference's
+    ``mpirun -n W*S --nrank W`` (W partitions, each internally
+    domain-decomposed).  2 walkers x 2 shards on the CPU mesh; builds
+    once and drives the sampler directly (CLI loop covered elsewhere)."""
+    cfg = dict(
+        system={"init": {"kind": "sc", "n_per_side": 5, "spacing": 2.4},
+                "kT": 1.0},
+        engine={"kind": "packed", "spatial_devices": 2, "skin": 0.5,
+                "rebuild_every": 2, "cap": 16,
+                "pair": {"kind": "lj", "r_cut": 2.5}},
+        integrator={"kind": "langevin", "dt": 0.004, "gamma": 1.0},
+        cvs=[{"name": "lam", "kind": "lamellar", "lattice_vector": [0, 0, 2],
+              "mode": [1.0],
+              "grid": {"min": -0.5, "max": 0.5, "num_points": 31,
+                       "sigma": 0.02}}],
+        metadynamics={"W": 0.3, "stride": 10, "mode": "well_tempered",
+                      "deltaT": 5.0, "n_walkers": 2},
+        run={"n_steps": 20, "report_every": 20},
+        chunks_per_block=1,
+        output={"hill_file": str(tmp_path / "HILLS")})
+
+    from metadyn_tpu.cli import build_sampler
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.walkers import WalkerSampler
+    sampler, _ = build_sampler(cfg)
+    assert isinstance(sampler, WalkerSampler)
+    assert isinstance(sampler.engine, SpatialPackedEngine)
+    assert sampler.engine._nested_islands
+    assert sampler.mesh.axis_names == ("walkers", "space")
+    hist = sampler.run(20)
+    m = hist[-1]
+    assert np.isfinite(np.asarray(m["cv"])).all()
+    assert not np.any(np.asarray(m["nlist_overflow"]))
+    assert int(sampler.bias.n_hills) == 4          # 2 strides x 2 walkers
+    assert len(open(tmp_path / "HILLS").readlines()) >= 5  # header + 4
+
+    # unsupported CV kinds on the product mesh fail loudly
+    import pytest as _pytest
+    bad = dict(cfg)
+    bad["cvs"] = [{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8],
+                   "k0": 1.57, "mode": [1.0],
+                   "grid": {"min": 0.0, "max": 150.0, "num_points": 31,
+                            "sigma": 7.5}}]
+    with _pytest.raises(ValueError, match="product mesh"):
+        build_sampler(bad)

@@ -305,9 +305,15 @@ def test_walkers_times_space_product_mesh():
     partitions rows).  2 walkers x 2 x-shards on 4 CPU devices: the
     WalkerSampler runs its stride chunk manual over "walkers" while the
     SpatialPackedEngine's nested halo islands go manual over "space".
-    Must reproduce the walkers-only run (PackedEngine on a 2-device
-    mesh) — same keys, same physics — to f32 reduction-order noise,
-    with the shared bias grid BITWISE identical."""
+    Phase 1 (no repack fires at dt=1e-3 over 50 steps): must reproduce
+    the walkers-only run (PackedEngine on a 2-device mesh) — same keys,
+    same physics — with the shared bias grid BITWISE identical.  Phase 2
+    keeps running so the nested repack island and the walker-joint
+    rebuild decision (see SpatialPackedEngine.rebuild: a repack cond
+    diverging across walkers would deadlock the fused space collectives)
+    are exercised; once repack TIMING couples walkers, trajectories are
+    a different-but-equally-valid sample, so phase 2 asserts integrity,
+    not equality."""
     from metadyn_tpu.core.state import make_system
     from metadyn_tpu.core.packed_engine import PackedEngine
     from metadyn_tpu.parallel.spatial import SpatialPackedEngine
@@ -352,7 +358,7 @@ def test_walkers_times_space_product_mesh():
             hills=HillSpec.create(W=0.5, stride=25, mode=WELL_TEMPERED,
                                   deltaT=5.0),
             integrator_factory=lambda f: make_packed_langevin_step(
-                f, dt=0.002, kT=1.0, gamma=1.0),
+                f, dt=0.001, kT=1.0, gamma=1.0),
             seed=0, chunks_per_block=1, mesh=mesh)
 
     devs = np.asarray(jax.devices())
@@ -377,3 +383,13 @@ def test_walkers_times_space_product_mesh():
     np.testing.assert_allclose(np.asarray(m2["potential_energy"]),
                                np.asarray(m_ref["potential_energy"]),
                                rtol=1e-5)
+
+    # phase 2: long enough that half-skin triggers fire — the nested
+    # repack island runs with the walker-joint decision; particle count
+    # stays conserved (overflow flag would trip otherwise)
+    h3 = s2.run(150)
+    m3 = h3[-1]
+    assert not np.any(np.asarray(m3["nlist_overflow"]))
+    assert np.isfinite(np.asarray(m3["potential_energy"])).all()
+    assert np.isfinite(np.asarray(m3["cv"])).all()
+    assert int(s2.bias.n_hills) == 16        # 8 strides x 2 walkers
