@@ -12,9 +12,24 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from ..ops.packed import PackedState, PackedSpec
+from ..ops.packed import PackedState, PackedSpec, VACANT_THR, VACANT_X
 
 PackedStepFn = Callable[[PackedState, jax.Array], PackedState]
+
+
+def _pin_vacant(r_new: jax.Array, r_old: jax.Array) -> jax.Array:
+    """Pin vacant slots at the EXACT coordinate sentinel across the step.
+
+    In uniform-eps mode (ops/packed.py) vacant slots sit at VACANT_X; the
+    Pallas pair kernel culls them purely by the r² tests (r²==0 exactly for
+    sentinel–sentinel pairs, r²≥L² for image-shifted ones, r²~1e14 for
+    vacant–real) — see packed_pallas2._kernel.  That invariant requires
+    vacant slots NOT to drift under the Langevin noise kick, so every
+    integrator re-pins them each step (no-op in non-uniform mode, where no
+    coordinate exceeds VACANT_THR).  This also keeps vacant slots from
+    spuriously tripping the half-skin repack trigger.
+    """
+    return jnp.where(r_old > VACANT_THR, jnp.float32(VACANT_X), r_new)
 
 
 def _wrap_packed(state: PackedState) -> PackedState:
@@ -48,7 +63,7 @@ def make_packed_langevin_step(
         noise = jax.random.normal(key, v.shape, v.dtype)
         v = c1 * v + c2 * noise
         r = r + 0.5 * dt * v
-        state = force_fn(state.replace(r=r))
+        state = force_fn(state.replace(r=_pin_vacant(r, state.r)))
         return state.replace(v=v + (0.5 * dt / mass) * state.f)
 
     return step
@@ -60,7 +75,8 @@ def make_packed_nve_step(
 ) -> PackedStepFn:
     def step(state: PackedState, key: jax.Array) -> PackedState:
         v_half = state.v + (0.5 * dt / mass) * state.f
-        state = force_fn(state.replace(r=state.r + dt * v_half))
+        r = _pin_vacant(state.r + dt * v_half, state.r)
+        state = force_fn(state.replace(r=r))
         return state.replace(v=v_half + (0.5 * dt / mass) * state.f)
 
     return step

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import PackedSpec, PackedState, _fene_wca_pair, VACANT_THR
+from .packed import PackedSpec, PackedState, _fene_wca_pair
 
 
 def _half_offsets():
@@ -137,12 +137,16 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         dz = z_i - zr
         r2 = dx * dx + dy * dy + dz * dz
         if ueps is not None:
-            # vacancy via the static coordinate sentinel: vacant slots sit
-            # at VACANT_X ≫ any physical coordinate, so the position test
-            # culls every vacant pair BEFORE the power chain (no 0·inf)
+            # vacancy via the static coordinate sentinel: the integrators
+            # PIN vacant slots at the exact VACANT_X value every step
+            # (integrate/packed._pin_vacant), so the r² tests alone cull
+            # every vacant pair — sentinel–sentinel pairs have r²==0
+            # exactly (the >1e-12 self-pair test), image-shifted ones
+            # r²≥L²≫rc², vacant–real ~1e14.  Dropping the two explicit
+            # position compares removes ~10% of the VPU ops in the hot
+            # pair chain (measured r3).
             eps = ueps
-            inside = ((r2 < rc2) & (r2 > 1e-12)
-                      & (x_i < VACANT_THR) & (xr < VACANT_THR))
+            inside = (r2 < rc2) & (r2 > 1e-12)
         else:
             eps = se_i * ser
             # eps > 0 gate: vacant slots (se=0) drift under Langevin noise
