@@ -286,3 +286,67 @@ def test_packed_branched_topology_star():
                                    rtol=1e-4)
         np.testing.assert_allclose(np.asarray(res.f[:, res.slot_of].T),
                                    f_ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.smoke
+def test_kremer_grest_melt_rg_sanity():
+    """Physics invariant (SURVEY.md §4.2): Kremer–Grest bead-spring melt
+    chains have near-ideal dimensions — for N=16, ρ=0.85, kT=1 the
+    literature chain statistics (l≈0.97, C∞≈1.7 with a finite-N
+    correction) give ⟨Rg²⟩ ≈ 3.3–4.2.  Assert a generous band around it:
+    a broken FENE/WCA balance (collapsed or swollen chains) lands far
+    outside."""
+    n_chains, chain_len = 40, 16
+    n = n_chains * chain_len
+    rho = 0.85
+    L = float((n / rho) ** (1 / 3))
+    # persistence 0.26 ⇒ ⟨cosθ⟩ matching C∞≈1.7: chains START at the
+    # target melt statistics (standard melt-preparation practice — the
+    # N=16 Rouse time ≫ this test's budget, so the test checks the
+    # dynamics PRESERVE near-ideal dimensions rather than re-derive them)
+    pos, bonds = polymer_melt(n_chains, chain_len, L, seed=4,
+                              grid_starts=True, persistence=0.26)
+    system = make_system(n, bonds=bonds)
+    fene = FENEBondParams(k=jnp.asarray([30.0]), r0=jnp.asarray([1.5]),
+                          epsilon=jnp.asarray([1.0]), sigma=jnp.asarray([1.0]))
+    # staged soft push-off (melt-preparation ramp): at ρ=0.85 a single
+    # A=100 stage leaves r_min≈0.3 and the WCA switch-on detonates
+    state = make_state(pos, Box.cubic(L))
+    for A, steps, dt in [(20.0, 300, 0.001), (60.0, 300, 0.002),
+                         (150.0, 400, 0.002), (400.0, 300, 0.002)]:
+        ff_soft = ForceField(pair_params=soft_tables(1, A=A, r_cut=1.0),
+                             pair_kernel=soft_kernel, row_block=n, fene=fene)
+        fa_soft = ff_soft.bind(system)
+        state = fa_soft(state)
+        step = make_langevin_step(fa_soft, system, dt=dt, kT=1.0, gamma=2.0)
+        state = jax.jit(lambda s, _step=step, _n=steps: run_steps(
+            _step, s, jax.random.PRNGKey(int(A)), _n))(state)
+    # production: WCA + FENE (the Kremer–Grest model); short small-dt settle
+    ff = ForceField(pair_params=wca_tables(1), pair_kernel=lj_kernel,
+                    row_block=n, fene=fene)
+    fa = ff.bind(system)
+    state = fa(state)
+    settle = make_langevin_step(fa, system, dt=0.002, kT=1.0, gamma=2.0)
+    state = jax.jit(lambda s: run_steps(settle, s, jax.random.PRNGKey(2), 300))(state)
+    kg_step = make_langevin_step(fa, system, dt=0.005, kT=1.0, gamma=1.0)
+
+    @jax.jit
+    def chunk(s, key):
+        return run_steps(kg_step, s, key, 400)
+
+    rg2_samples = []
+    key = jax.random.PRNGKey(11)
+    for b in range(8):
+        state = chunk(state, jax.random.fold_in(key, b))
+        if b >= 3:                       # discard equilibration blocks
+            r = np.asarray(state.unwrapped_pos()).reshape(
+                n_chains, chain_len, 3)
+            com = r.mean(axis=1, keepdims=True)
+            rg2_samples.append(((r - com) ** 2).sum(-1).mean())
+    rg2 = float(np.mean(rg2_samples))
+    # bonds stayed whole (FENE never broke): max bond length < r0
+    r_u = np.asarray(state.unwrapped_pos())
+    bl = np.linalg.norm(r_u[bonds[:, 0]] - r_u[bonds[:, 1]], axis=1)
+    assert bl.max() < 1.4, f"stretched/broken FENE bond: {bl.max():.3f}"
+    assert 0.9 < bl.mean() < 1.05, f"bond length off: {bl.mean():.3f}"
+    assert 2.3 < rg2 < 5.5, f"melt chain Rg² {rg2:.2f} outside KG band"
