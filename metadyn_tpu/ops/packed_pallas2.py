@@ -38,6 +38,55 @@ def _half_offsets():
     return offs
 
 
+@functools.lru_cache(maxsize=None)
+def _flat_roll_plan(o, dims):
+    """Static plan for one periodic cell-offset roll in FLAT (cap, C) layout.
+
+    out[.., c] = a[.., flat((ix+ox)%cx, (iy+oy)%cy, (iz+oz)%cz)] decomposes
+    into at most 4 flat rolls selected by static per-column wrap masks:
+    flat_src = c + S − yw·(cy·cz) − zw·cz  (mod C), with S = ox·cy·cz +
+    oy·cz + oz — the x wrap is FREE mod C.  This keeps every copy in the
+    (cap, C) lane layout (C ≈ 21×128, ~3% pad) instead of the 4-d
+    (cap, cx, cy, cz) view whose cz→128 lane pad makes each roll move ~10×
+    the live bytes (docs/perf_notes.md).
+
+    Returns [(shift, mask_or_None)] applied as: out = roll(a, −shift₀);
+    then for each further (shift, mask): out = where(mask, roll(a, −shift), out).
+    """
+    cx, cy, cz = dims
+    C = cx * cy * cz
+    ox, oy, oz = o
+    S = ox * cy * cz + oy * cz + oz
+    ix, iy, iz = np.unravel_index(np.arange(C), dims)
+    mz = (iz + oz >= cz) | (iz + oz < 0)
+    my = (iy + oy >= cy) | (iy + oy < 0)
+    zc = int(np.sign(oz)) * cz
+    yc = int(np.sign(oy)) * cy * cz
+    # masks stay numpy: the plan is lru_cached across jit traces, and a jnp
+    # constant minted inside one trace would leak into the next
+    plan = [(S % C, None)]
+    if oz != 0:
+        plan.append(((S - zc) % C, mz))
+    if oy != 0:
+        plan.append(((S - yc) % C, my & ~mz))
+        if oz != 0:
+            plan.append(((S - yc - zc) % C, my & mz))
+    return plan
+
+
+def _roll_cells_flat(a, o, dims):
+    """Periodic cell-offset roll of a (..., C) flat cell-major array.
+
+    Exact drop-in for jnp.roll(a.reshape(.., cx, cy, cz), shift=(-ox,-oy,-oz),
+    axis=(-3,-2,-1)).reshape(.., C) without ever entering the lane-padded
+    4-d layout (parity asserted in tests/test_packed.py)."""
+    plan = _flat_roll_plan(tuple(o), tuple(dims))
+    out = jnp.roll(a, shift=-plan[0][0], axis=-1)
+    for shift, mask in plan[1:]:
+        out = jnp.where(jnp.asarray(mask), jnp.roll(a, shift=-shift, axis=-1), out)
+    return out
+
+
 def _half_stacks(state: PackedState, spec: PackedSpec):
     """(14, cap, C) rolled+shifted partner stacks for the half-offset set."""
     cap, C = spec.cap, spec.n_cells
@@ -45,7 +94,6 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
     dims = (cx, cy, cz)
     offs = _half_offsets()
     ix, iy, iz = np.unravel_index(np.arange(C), dims)
-    view = lambda a: a.reshape(cap, cx, cy, cz)
 
     ushifts = []
     for (ox, oy, oz) in offs:
@@ -57,11 +105,8 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
 
     stacks = []
     for d in range(3):
-        x4 = view(state.r[d].reshape(cap, C))
-        rolled = jnp.stack([
-            jnp.roll(x4, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3)).reshape(cap, C)
-            for o in offs
-        ])
+        x2 = state.r[d].reshape(cap, C)
+        rolled = jnp.stack([_roll_cells_flat(x2, o, dims) for o in offs])
         stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
     # uniform-sigma systems skip the hs stack: sig is a compile-time const
     # and se (= √ε, 0 on vacant slots) carries the vacancy mask — unless
@@ -75,11 +120,8 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
     if spec.has_bonds:
         extra.append(state.pid.astype(jnp.float32))
     for arr in extra:
-        a4 = view(arr.reshape(cap, C))
-        stacks.append(jnp.stack([
-            jnp.roll(a4, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3)).reshape(cap, C)
-            for o in offs
-        ]))
+        a2 = arr.reshape(cap, C)
+        stacks.append(jnp.stack([_roll_cells_flat(a2, o, dims) for o in offs]))
     return stacks
 
 
@@ -334,15 +376,15 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
     )(*const_in, *stacks)
 
     # roll the j-frame reaction forces back to their true cells and sum
+    # (inverse offset −o, in the flat layout — see _roll_cells_flat)
     offs = _half_offsets()
-    view = lambda a: a[:cap, :C].reshape(cap, cx, cy, cz)
+    dims = (cx, cy, cz)
     comps = []
     for fj, fi in ((fjx, fx), (fjy, fy), (fjz, fz)):
         tot = fi[:cap, :C]
         for oi, o in enumerate(offs[1:], start=1):
-            tot = tot + jnp.roll(view(fj[oi]),
-                                 shift=(o[0], o[1], o[2]),
-                                 axis=(1, 2, 3)).reshape(cap, C)
+            tot = tot + _roll_cells_flat(
+                fj[oi, :cap, :C], (-o[0], -o[1], -o[2]), dims)
         comps.append(tot.reshape(-1))
     if with_energy:
         return state.replace(
