@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .packed import PackedSpec, PackedState, VACANT_THR, VACANT_X
-from .packed_pallas2 import _half_offsets
+from .packed_pallas2 import _half_offsets, _roll_cells_flat
 
 
 def _order_stacks(state: PackedState, spec: PackedSpec):
@@ -42,9 +42,9 @@ def _order_stacks(state: PackedState, spec: PackedSpec):
     vacancy).  Returns (stacks, vi) with vi None in sentinel mode."""
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
+    dims = (cx, cy, cz)
     offs = _half_offsets()
-    ix, iy, iz = np.unravel_index(np.arange(C), (cx, cy, cz))
-    view = lambda a: a.reshape(cap, cx, cy, cz)
+    ix, iy, iz = np.unravel_index(np.arange(C), dims)
 
     ushifts = []
     for (ox, oy, oz) in offs:
@@ -56,22 +56,14 @@ def _order_stacks(state: PackedState, spec: PackedSpec):
 
     stacks = []
     for d in range(3):
-        x4 = view(state.r[d].reshape(cap, C))
-        rolled = jnp.stack([
-            jnp.roll(x4, shift=(-o[0], -o[1], -o[2]),
-                     axis=(1, 2, 3)).reshape(cap, C)
-            for o in offs
-        ])
+        x2 = state.r[d].reshape(cap, C)
+        rolled = jnp.stack([_roll_cells_flat(x2, o, dims) for o in offs])
         stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
     vi = None
     if spec.uniform_eps is None:
         valid = (state.pid < spec.n_real).astype(jnp.float32).reshape(cap, C)
-        v4 = view(valid)
-        stacks.append(jnp.stack([
-            jnp.roll(v4, shift=(-o[0], -o[1], -o[2]),
-                     axis=(1, 2, 3)).reshape(cap, C)
-            for o in offs
-        ]))
+        stacks.append(jnp.stack(
+            [_roll_cells_flat(valid, o, dims) for o in offs]))
         vi = valid
     return stacks, vi
 
@@ -334,14 +326,15 @@ def order_force_pallas(state: PackedState, spec: PackedSpec, cvs, auxs,
                    + [jax.ShapeDtypeStruct((14, cap8, Cpad), jnp.float32)] * 3),
     )(*const, aux_lanes, *slabs)
 
+    # roll j-frame reaction forces back with the inverse offset, staying in
+    # the flat (cap, C) lane layout (see packed_pallas2._roll_cells_flat)
     offs = _half_offsets()
-    view = lambda a: a[:cap, :C].reshape(cap, cx, cy, cz)
+    dims = (cx, cy, cz)
     comps = []
     for fj, fi in ((fjx, fx), (fjy, fy), (fjz, fz)):
         tot = fi[:cap, :C]
         for oi, o in enumerate(offs[1:], start=1):
-            tot = tot + jnp.roll(view(fj[oi]),
-                                 shift=(o[0], o[1], o[2]),
-                                 axis=(1, 2, 3)).reshape(cap, C)
+            tot = tot + _roll_cells_flat(
+                fj[oi, :cap, :C], (-o[0], -o[1], -o[2]), dims)
         comps.append(tot.reshape(-1))
     return jnp.stack(comps)
