@@ -719,7 +719,18 @@ def cmd_rdf(args) -> int:
     from .io.trajectory import read_dcd, read_trajectory
     from .utils.analysis import rdf
 
-    read = read_dcd if args.traj.endswith(".dcd") else read_trajectory
+    if args.traj.endswith(".gsd"):
+        from .io.gsd_file import read_gsd_frames
+
+        def read(path):
+            frames = read_gsd_frames(path)
+            return {
+                "pos": np.stack([f["particles/position"] for f in frames]),
+                "box_L": np.stack([f["configuration/box"][:3]
+                                   for f in frames]),
+            }
+    else:
+        read = read_dcd if args.traj.endswith(".dcd") else read_trajectory
     d = read(args.traj)
     pos, box_L = d["pos"][args.skip:], np.asarray(d["box_L"])
     if box_L.ndim == 2:

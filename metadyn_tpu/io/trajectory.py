@@ -174,7 +174,11 @@ def read_dcd(path: str) -> dict[str, np.ndarray]:
 
 
 def make_trajectory_writer(path: str, overwrite: bool = True):
-    """Dispatch on extension: ``.dcd`` → binary DCD, else npz frames."""
+    """Dispatch on extension: ``.gsd`` → HOOMD-schema GSD (native C++
+    writer, io/gsd_file.py), ``.dcd`` → binary DCD, else npz frames."""
+    if path.endswith(".gsd"):
+        from .gsd_file import GSDWriter
+        return GSDWriter(path, overwrite=overwrite)
     if path.endswith(".dcd"):
         return DCDWriter(path, overwrite=overwrite)
     return TrajectoryWriter(path, overwrite=overwrite)

@@ -129,6 +129,89 @@ def test_dcd_roundtrip_and_append(tmp_path):
     np.testing.assert_allclose(back2["pos"][3], frames[0])
 
 
+def test_gsd_roundtrip_native(tmp_path):
+    """GSD writer (native C++ core): v1 byte layout verified at struct
+    level, HOOMD-schema chunks round-trip through the INDEPENDENT
+    pure-Python reader, frame-0 inheritance, and append-resume."""
+    import struct
+    from metadyn_tpu.io import gsd_file
+    from metadyn_tpu.io.gsd_file import (GSDWriter, read_gsd,
+                                         read_gsd_frames, gsd_types)
+    from metadyn_tpu.io.trajectory import make_trajectory_writer
+
+    assert gsd_file._lib(), "C++ toolchain expected in this environment"
+    p = str(tmp_path / "traj.gsd")
+    w = make_trajectory_writer(p)
+    assert isinstance(w, GSDWriter)
+    rng = np.random.default_rng(2)
+    frames = [rng.normal(size=(5, 3)).astype(np.float32) for _ in range(3)]
+    imgs = [rng.integers(-2, 3, (5, 3)).astype(np.int32) for _ in range(3)]
+    for i, (fr, im) in enumerate(zip(frames, imgs)):
+        w.append(fr, im, [6.0, 7.0, 8.0], step=10 + 5 * i)
+    w.close()
+
+    raw = open(p, "rb").read()
+    magic, index_loc, _, nm_loc, _, schema_ver, gsd_ver = \
+        struct.unpack_from("<QQQQQII", raw, 0)
+    assert magic == 0x65DF65DF65DF65DF
+    assert gsd_ver == (1 << 16)                  # v1 layout
+    assert schema_ver == (1 << 16) | 4           # hoomd 1.4
+    assert raw[48:48 + 11] == b"metadyn_tpu"
+    assert raw[112:112 + 5] == b"hoomd"
+    # index entries are 32 bytes; first entry lives at index_loc
+    frame0, n0, loc0 = struct.unpack_from("<QQq", raw, index_loc)
+    assert frame0 == 0 and loc0 >= 256
+
+    doc = read_gsd(p)
+    assert doc["schema"] == "hoomd" and len(doc["frames"]) == 3
+    f0 = doc["frames"][0]
+    np.testing.assert_allclose(f0["particles/position"], frames[0])
+    np.testing.assert_array_equal(f0["particles/image"], imgs[0])
+    np.testing.assert_allclose(f0["configuration/box"][:3], [6., 7., 8.])
+    assert f0["configuration/step"][0] == 10
+    assert f0["particles/N"][0] == 5
+    assert gsd_types(f0) == ["A"]
+    # typeid written only at frame 0; inheritance fills later frames
+    assert "particles/typeid" not in doc["frames"][2]
+    inh = read_gsd_frames(p)
+    np.testing.assert_array_equal(inh[2]["particles/typeid"],
+                                  np.zeros(5, np.uint32))
+    np.testing.assert_allclose(inh[2]["particles/position"], frames[2])
+    assert inh[2]["configuration/step"][0] == 20
+
+    # append-resume replays committed frames then continues
+    w2 = GSDWriter(p, overwrite=False)
+    w2.append(frames[0], imgs[0], [6.0, 7.0, 8.0], step=25)
+    w2.close()
+    doc2 = read_gsd(p)
+    assert len(doc2["frames"]) == 4
+    np.testing.assert_allclose(doc2["frames"][3]["particles/position"],
+                               frames[0])
+    np.testing.assert_allclose(doc2["frames"][1]["particles/position"],
+                               frames[1])
+
+
+def test_gsd_python_fallback_identical_layout(tmp_path):
+    """The pure-Python fallback writer emits the same v1 structure the
+    native core does (same reader, same asserted fields)."""
+    from metadyn_tpu.io.gsd_file import _PyFile, read_gsd
+
+    p = str(tmp_path / "fb.gsd")
+    f = _PyFile(p, "metadyn_tpu", "hoomd", (1 << 16) | 4)
+    pos = np.arange(12, dtype=np.float32).reshape(4, 3)
+    f.write_chunk("configuration/step", np.asarray([7], np.uint64))
+    f.write_chunk("particles/position", pos)
+    f.end_frame()
+    f.write_chunk("configuration/step", np.asarray([9], np.uint64))
+    f.end_frame()
+    f.close()
+    doc = read_gsd(p)
+    assert doc["gsd_version"] == (1 << 16)
+    assert len(doc["frames"]) == 2
+    np.testing.assert_allclose(doc["frames"][0]["particles/position"], pos)
+    assert doc["frames"][1]["configuration/step"][0] == 9
+
+
 def test_cli_config1_end_to_end(tmp_path):
     """`metadyn run` on the Config-1 example: runs, writes hill log, CSV,
     and grid dump (BASELINE.json:7 anchor through the user-facing entry)."""
