@@ -260,7 +260,16 @@ def build_sampler(cfg: dict, resume: bool = False):
     else:
         raise ValueError(f"unknown init kind {kind}")
     n = pos.shape[0]
-    box = Box.cubic(float(L))
+    tilt = sys_cfg.get("tilt")
+    if tilt is not None:
+        # triclinic runs on the all-pairs engine (cell decomposition is
+        # orthorhombic-only; see core/box.py)
+        assert cfg["engine"]["kind"] == "all_pairs", (
+            "system.tilt requires engine.kind: all_pairs")
+        xy, xz, yz = (float(t) for t in tilt)
+        box = Box.triclinic(float(L), float(L), float(L), xy, xz, yz)
+    else:
+        box = Box.cubic(float(L))
     tcfg = sys_cfg.get("types", None)
     if tcfg == "diblock":
         # diblock copolymer: first half of each chain type 0 (A), second

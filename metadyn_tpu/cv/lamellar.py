@@ -45,7 +45,14 @@ class LamellarOP:
         return f"cv_{self.name}"
 
     def value(self, state: State, system: System) -> jax.Array:
-        k = 2.0 * jnp.pi * self.lattice_vectors / state.box.L[None, :]  # (M, 3)
+        if state.box.tilt is None:
+            k = 2.0 * jnp.pi * self.lattice_vectors / state.box.L[None, :]
+        else:
+            # triclinic: k_j = 2π n_j @ h⁻¹ (reciprocal lattice of the
+            # tilted cell — see core/box.reciprocal_matrix)
+            from ..core.box import reciprocal_matrix
+            k = 2.0 * jnp.pi * self.lattice_vectors @ reciprocal_matrix(
+                state.box)                                              # (M, 3)
         phase = state.pos @ k.T + self.phases[None, :]                  # (N, M)
         amp = self.mode[system.types]                                   # (N,)
         return jnp.sum(amp[:, None] * jnp.cos(phase)) / state.pos.shape[0]

@@ -31,7 +31,11 @@ def cic_assign(pos: jax.Array, weights: jax.Array, box, mesh_shape) -> jax.Array
     """Cloud-in-cell (trilinear) particle→mesh assignment, differentiable."""
     nx, ny, nz = mesh_shape
     dims = jnp.asarray([nx, ny, nz], jnp.float32)
-    frac = (pos / box.L + 0.5) * dims          # (N, 3) mesh coords
+    # fractional coordinates: pos/L orthorhombic, h⁻¹·pos triclinic (the
+    # mesh is a lattice-aligned grid either way — CIC weights are pure
+    # fractional functions, so the assignment generalizes unchanged)
+    from ..core.box import fractional
+    frac = (fractional(pos, box) + 0.5) * dims  # (N, 3) mesh coords
     i0 = jnp.floor(frac - 0.5)
     t = frac - 0.5 - i0                         # weight toward the +1 corner
     i0 = i0.astype(jnp.int32)
@@ -103,9 +107,23 @@ class MeshOrderParameter:
             return self.u_k, jnp.zeros((3,) + self.mesh_shape, jnp.float32)
         ms = [np.fft.fftfreq(n_) * n_ for n_ in self.mesh_shape]  # static
         mgrid = np.meshgrid(*ms, indexing="ij")
-        kd2 = jnp.stack([
-            (2.0 * jnp.pi * jnp.asarray(m, jnp.float32) / box.L[d]) ** 2
-            for d, m in enumerate(mgrid)])                   # (3, nx, ny, nz)
+        if box.tilt is None:
+            kd2 = jnp.stack([
+                (2.0 * jnp.pi * jnp.asarray(m, jnp.float32) / box.L[d]) ** 2
+                for d, m in enumerate(mgrid)])               # (3, nx, ny, nz)
+        else:
+            # triclinic: k(m) = 2π·(m @ h⁻¹); kd2 holds the Cartesian
+            # components squared so kmag is exact for the tilted cell
+            # (the per-axis virial split below is only used orthorhombic —
+            # see bias_virial)
+            from ..core.box import reciprocal_matrix
+            B = reciprocal_matrix(box)                       # (3, 3)
+            mg = [jnp.asarray(m, jnp.float32) for m in mgrid]
+            kd2 = jnp.stack([
+                (2.0 * jnp.pi
+                 * (mg[0] * B[0, d] + mg[1] * B[1, d] + mg[2] * B[2, d]))
+                ** 2
+                for d in range(3)])
         kmag = jnp.sqrt(jnp.sum(kd2, axis=0))
         u = jnp.exp(-0.5 * ((kmag - self.k0) / self.width) ** 2)
         uprime = -((kmag - self.k0) / self.width**2) * u
@@ -134,7 +152,11 @@ class MeshOrderParameter:
         so the only ε_d-dependence is k_d → k_d/(1+ε_d) inside u:
         W_d = dVds·(1/N)·Σ_k |ρ̂|²·u'(|k|)·k_d²/|k|  (SURVEY.md §3.3).
         The trace recovers the uniform-scaling virial; without it, NPT +
-        mesh-CV bias samples the wrong pressure."""
+        mesh-CV bias samples the wrong pressure.  Orthorhombic only: a
+        per-axis strain of a tilted cell mixes tilt DOF into k, which this
+        split does not model (triclinic mesh runs NVT/NVE)."""
+        assert state.box.tilt is None, (
+            "mesh bias_virial (NPT coupling) requires an orthorhombic box")
         n = state.pos.shape[0]
         _, vir = self._kernels(state.box)
         return dVds * jnp.sum(self._rho_k2(state, system)[None] * vir,

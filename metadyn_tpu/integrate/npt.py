@@ -51,6 +51,9 @@ def make_npt_scr_step(
     n = system.n
 
     def step(state: State, key: jax.Array) -> State:
+        assert state.box.tilt is None, (
+            "NPT cell rescaling requires an orthorhombic box: per-axis L "
+            "scaling at fixed tilt is not a componentwise position map")
         k_noise, k_baro = jax.random.split(key)
         # --- Langevin BAOAB on particles ---
         v = state.vel + 0.5 * dt * state.force / mass

@@ -312,6 +312,9 @@ def pack_host(
     sort-free incremental repack handles all subsequent migrations
     on-device.  Mirrors pack()'s f32 arithmetic and stable ordering.
     """
+    assert box.tilt is None, (
+        "the packed cell engine requires an orthorhombic box — triclinic "
+        "runs use the all-pairs engine (core/box.py docstring)")
     n = spec.n_real
     cpd = np.asarray(spec.cells_per_dim, np.int32)
     C, cap, npad = spec.n_cells, spec.cap, spec.n_pad
