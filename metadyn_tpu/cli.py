@@ -262,10 +262,13 @@ def build_sampler(cfg: dict, resume: bool = False):
     n = pos.shape[0]
     tilt = sys_cfg.get("tilt")
     if tilt is not None:
-        # triclinic runs on the all-pairs engine (cell decomposition is
-        # orthorhombic-only; see core/box.py)
-        assert cfg["engine"]["kind"] == "all_pairs", (
-            "system.tilt requires engine.kind: all_pairs")
+        # triclinic runs on the all-pairs engine or the packed cell engine
+        # (fractional binning; ops/packed.py); spatial DD keeps its
+        # orthorhombic slab guard
+        assert cfg["engine"]["kind"] in ("all_pairs", "packed"), (
+            "system.tilt requires engine.kind: all_pairs or packed")
+        assert not int(cfg["engine"].get("spatial_devices", 1) or 1) > 1, (
+            "system.tilt is not supported with spatial_devices > 1")
         xy, xz, yz = (float(t) for t in tilt)
         box = Box.triclinic(float(L), float(L), float(L), xy, xz, yz)
     else:
@@ -307,7 +310,8 @@ def build_sampler(cfg: dict, resume: bool = False):
             shift_energy=bool(pair.get("shift", pair["kind"] == "wca")),
             fene_k=None if fene is None else float(fene["k"]),
             fene_r0=None if fene is None else float(fene["r0"]),
-            uniform_sigma=eng_cfg.get("uniform_sigma"))
+            uniform_sigma=eng_cfg.get("uniform_sigma"),
+            tilt=tilt)
         # spatial domain decomposition: engine.spatial_devices shards the
         # cell grid over the first N devices (the mpirun/-nrank analog —
         # one YAML key instead of a launcher flag)

@@ -15,10 +15,13 @@ so a lattice point is ``r = h @ f`` with fractional ``f``.  See SURVEY.md
 ``tilt=None`` (the default) keeps every code path on the orthorhombic fast
 math — the triclinic branch is selected STATICALLY at trace time, so
 orthorhombic runs compile to exactly the pre-triclinic program.  Triclinic
-boxes are supported on the general engines (all-pairs pair/bond forces,
-Langevin/NVT stepping, lamellar/mesh/Steinhardt/MSD CVs); the packed
-cell-decomposition hot path and spatial DD keep an explicit orthorhombic
-guard (HOOMD restricts its MPI decomposition for strong tilts similarly).
+boxes run on the general engines (all-pairs pair/bond forces, Langevin/NVT
+stepping, lamellar/mesh/Steinhardt/MSD CVs) AND on the packed
+cell-decomposition hot path (fractional binning + h-matrix roll shifts,
+ops/packed.py; cells sized by perpendicular width).  Spatial DD and the
+packed NPT barostat keep orthorhombic guards (HOOMD restricts its MPI
+decomposition for strong tilts similarly; its NPT couples tilt DOFs
+separately — out of scope).
 
 Minimum-image convention under tilt follows HOOMD: round in FRACTIONAL
 coordinates — exact whenever the interaction range is below half the

@@ -105,6 +105,9 @@ class PackedEngine:
         if self.nbr_table is not None:
             from ..ops.neighbor_table import build_slot_neighbor_table
             r_nb, K = self.nbr_table
+            assert state.box.tilt is None, (
+                "the slot neighbor table uses orthorhombic minimum image; "
+                "triclinic runs stay on the roll-sweep path")
             # stencil completeness: every pair within r_nb must be inside
             # the 27-cell neighborhood, i.e. r_nb <= min cell width.
             # (NPT compression shrinks the widths — size with headroom.)

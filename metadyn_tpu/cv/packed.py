@@ -13,8 +13,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from ..core.box import reciprocal_matrix
 from ..core.state import System
-from ..ops.packed import PackedState
+from ..ops.packed import PackedState, _cart3, _frac3
 
 
 @struct.dataclass
@@ -50,7 +51,9 @@ class PackedLamellar:
 
     def value(self, state: PackedState, system: System) -> jax.Array:
         amp = state.attrs[self.attr_name]           # (Npad,)
-        k = 2.0 * jnp.pi * self.lattice_vectors / state.box.L[None, :]  # (M,3)
+        # k(n) = 2π·(n @ h⁻¹): orthorhombic ⇒ 2π n/L; triclinic ⇒ the
+        # reciprocal-matrix wave vectors (cv/lamellar.py parity)
+        k = 2.0 * jnp.pi * self.lattice_vectors @ reciprocal_matrix(state.box)
         # phase per (mode, slot): SoA contraction, no (Npad, 3) layout
         s = jnp.float32(0.0)
         for m in range(self.lattice_vectors.shape[0]):
@@ -67,7 +70,7 @@ class PackedLamellar:
         +dVds·amp·sin(phase)·k_d/N — a fused SoA elementwise pass (no vjp
         re-trace; oracle-tested against jax.vjp in tests/test_cvs.py)."""
         amp = state.attrs[self.attr_name]
-        k = 2.0 * jnp.pi * self.lattice_vectors / state.box.L[None, :]
+        k = 2.0 * jnp.pi * self.lattice_vectors @ reciprocal_matrix(state.box)
         coef = dVds / self.n_real
         for m in range(self.lattice_vectors.shape[0]):
             phase = (k[m, 0] * state.r[0] + k[m, 1] * state.r[1]
@@ -92,11 +95,11 @@ class PackedMSD:
 
     def value(self, state: PackedState, system: System) -> jax.Array:
         valid = (state.pid < self.n_real).astype(jnp.float32)
+        # unwrap = r + h·image (image counts LATTICE vectors; ortho ⇒ r+L·im)
+        uw = state.r + _cart3(state.image.astype(jnp.float32), state.box)
         s = jnp.float32(0.0)
         for d, nm in enumerate(("msd_x", "msd_y", "msd_z")):
-            unwrapped = state.r[d] + state.image[d].astype(jnp.float32) \
-                * state.box.L[d]
-            diff = (unwrapped - state.attrs[nm]) * valid
+            diff = (uw[d] - state.attrs[nm]) * valid
             s = s + jnp.sum(diff * diff)
         return s / self.n_real
 
@@ -105,21 +108,20 @@ class PackedMSD:
         """f_acc += −dVds · ∂s/∂r with ∂s/∂r_d = 2(r_d − r⁰_d)/N."""
         valid = (state.pid < self.n_real).astype(jnp.float32)
         coef = -2.0 * dVds / self.n_real
+        uw = state.r + _cart3(state.image.astype(jnp.float32), state.box)
         rows = []
         for d, nm in enumerate(("msd_x", "msd_y", "msd_z")):
-            unwrapped = state.r[d] + state.image[d].astype(jnp.float32) \
-                * state.box.L[d]
-            rows.append(coef * (unwrapped - state.attrs[nm]) * valid)
+            rows.append(coef * (uw[d] - state.attrs[nm]) * valid)
         return f_acc + jnp.stack(rows)
 
     def bias_virial(self, state: PackedState, system: System,
                     dVds: jax.Array) -> jax.Array:
         """Per-axis W_d = −dVds·(2/N)·Σ (u_d−r⁰_d)·u_d (see cv/msd.py)."""
         valid = (state.pid < self.n_real).astype(jnp.float32)
+        uw = state.r + _cart3(state.image.astype(jnp.float32), state.box)
         acc = []
         for d, nm in enumerate(("msd_x", "msd_y", "msd_z")):
-            u = state.r[d] + state.image[d].astype(jnp.float32) * state.box.L[d]
-            acc.append(jnp.sum((u - state.attrs[nm]) * u * valid))
+            acc.append(jnp.sum((uw[d] - state.attrs[nm]) * uw[d] * valid))
         return -dVds * 2.0 * jnp.stack(acc) / self.n_real
 
 
@@ -167,9 +169,21 @@ class PackedMesh:
             return self.u_k, jnp.zeros((3,) + self.mesh_shape, jnp.float32)
         ms = [np.fft.fftfreq(n_) * n_ for n_ in self.mesh_shape]
         mgrid = np.meshgrid(*ms, indexing="ij")
-        kd2 = jnp.stack([
-            (2.0 * jnp.pi * jnp.asarray(m, jnp.float32) / box.L[d]) ** 2
-            for d, m in enumerate(mgrid)])
+        if box.tilt is None:
+            kd2 = jnp.stack([
+                (2.0 * jnp.pi * jnp.asarray(m, jnp.float32) / box.L[d]) ** 2
+                for d, m in enumerate(mgrid)])
+        else:
+            # triclinic: k(m) = 2π·(m @ h⁻¹) — exact |k| at the tilted
+            # cell (cv/mesh.py parity); per-axis virial split is only
+            # consumed by the orthorhombic NPT path
+            B = reciprocal_matrix(box)
+            mg = [jnp.asarray(m, jnp.float32) for m in mgrid]
+            kd2 = jnp.stack([
+                (2.0 * jnp.pi
+                 * (mg[0] * B[0, d] + mg[1] * B[1, d] + mg[2] * B[2, d]))
+                ** 2
+                for d in range(3)])
         kmag = jnp.sqrt(jnp.sum(kd2, axis=0))
         u = jnp.exp(-0.5 * ((kmag - self.k0) / self.width) ** 2)
         uprime = -((kmag - self.k0) / self.width**2) * u
@@ -191,10 +205,13 @@ class PackedMesh:
         nx, ny, nz = self.mesh_shape
         w = state.attrs[self.attr_name]
         rho = jnp.zeros(nx * ny * nz, jnp.float32)
-        # per-axis mesh coords from SoA components (no (Npad, 3) array)
+        # per-axis mesh coords from SoA components (no (Npad, 3) array);
+        # assignment is FRACTIONAL (lattice-aligned CIC), so the same
+        # code covers tilted cells (cv/mesh.py parity)
+        f3 = _frac3(state.r, state.box)
         i0, t = [], []
         for d, n_d in enumerate((nx, ny, nz)):
-            f = (state.r[d] / state.box.L[d] + 0.5) * n_d
+            f = (f3[d] + 0.5) * n_d
             base = jnp.floor(f - 0.5)
             t.append(f - 0.5 - base)
             i0.append(base.astype(jnp.int32))

@@ -19,7 +19,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from ..core.state import System
-from ..ops.packed import PackedSpec, PackedState, _roll_offsets
+from ..ops.packed import (PackedSpec, PackedState, _roll_offsets,
+                          shift_rows_cart)
 from .steinhardt import _plm_over_sinm_coeffs, _norms, ql_from_sums
 
 
@@ -34,15 +35,14 @@ def _half_partner_stacks(state: PackedState, spec: PackedSpec):
     view = lambda a: a.reshape(cap, cx, cy, cz)
     x4 = [view(state.r[d].reshape(cap, C)) for d in range(3)]
     valid4 = view((state.pid < spec.n_real).astype(jnp.float32).reshape(cap, C))
-    L = state.box.L
     out = []
     for (o, ushift) in _roll_offsets(spec):
         if o < (0, 0, 0):
             continue
         roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]),
                                   axis=(1, 2, 3))
-        shift = jnp.asarray(ushift)
-        xj3 = [roll(x4[d]).reshape(cap, C) + shift[d][None, :] * L[d]
+        shift = shift_rows_cart(ushift, state.box)
+        xj3 = [roll(x4[d]).reshape(cap, C) + shift[d][None, :]
                for d in range(3)]
         vj = roll(valid4).reshape(cap, C)
         out.append((o, xj3, vj))
@@ -80,9 +80,9 @@ def _offset_pair_sweep(state: PackedState, spec: PackedSpec, per_pair,
             for (o, ushift) in _roll_offsets(spec):
                 roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]),
                                           axis=(1, 2, 3))
-                shift = jnp.asarray(ushift)
+                shift = shift_rows_cart(ushift, state.box)
                 xj3 = [roll(x4[d]).reshape(cap, C)
-                       + shift[d][None, :] * L[d] for d in range(3)]
+                       + shift[d][None, :] for d in range(3)]
                 yield o, xj3, roll(valid4).reshape(cap, C)
         it = full_iter()
     for (o, xj3, vj) in it:

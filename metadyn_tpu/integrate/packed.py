@@ -32,15 +32,6 @@ def _pin_vacant(r_new: jax.Array, r_old: jax.Array) -> jax.Array:
     return jnp.where(r_old > VACANT_THR, jnp.float32(VACANT_X), r_new)
 
 
-def _wrap_packed(state: PackedState) -> PackedState:
-    L = state.box.L[:, None]
-    shift = jnp.floor(state.r / L + 0.5)
-    return state.replace(
-        r=state.r - L * shift,
-        image=state.image + shift.astype(jnp.int32),
-    )
-
-
 # NOTE: packed integrators do NOT wrap per step.  Wrapping teleports a
 # coordinate by ±L while the slot cell still implies the old side, making
 # the particle a ghost to every neighbor until the next repack (observed:
@@ -113,6 +104,10 @@ def make_packed_npt_scr_step(
     c2 = jnp.sqrt((1.0 - c1 * c1) * kT / mass)
 
     def step(state: PackedState, key: jax.Array) -> PackedState:
+        assert state.box.tilt is None, (
+            "packed NPT/SCR supports orthorhombic boxes: the per-axis "
+            "Cartesian rescale does not commute with tilt factors "
+            "(HOOMD's NPT couples tilt DOFs separately — out of scope)")
         k_noise, k_baro = jax.random.split(key)
         valid = (state.pid < spec.n_real).astype(jnp.float32)[None, :]
         # --- BAOAB on particles ---

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.box import Box
+from ..core.box import Box, h_inverse, h_matrix
 
 # Vacant-slot coordinate sentinel for the uniform-eps lean kernel: far
 # outside any physical box (f32-exact), so vacant slots are culled by a
@@ -45,6 +45,37 @@ from ..core.box import Box
 # per-slot √ε=0 factor.  Real coordinates never exceed ~1.5·L ≪ THR.
 VACANT_X = 1.0e7
 VACANT_THR = 1.0e6
+
+
+def _frac3(r: jax.Array, box: Box) -> jax.Array:
+    """(3, M) Cartesian → (3, M) fractional rows (f = h⁻¹ r).
+
+    The tilt branch is STATIC (selected at trace time): orthorhombic
+    programs compile to the plain divide, exactly as before triclinic
+    support (HOOMD BoxDim parity, SURVEY.md §2b)."""
+    if box.tilt is None:
+        return r / box.L[:, None]
+    return h_inverse(box) @ r
+
+
+def _cart3(f: jax.Array, box: Box) -> jax.Array:
+    """(3, M) fractional → Cartesian rows (r = h f)."""
+    if box.tilt is None:
+        return f * box.L[:, None]
+    return h_matrix(box) @ f
+
+
+def shift_rows_cart(ushift, box: Box) -> jax.Array:
+    """Lattice-unit periodic wrap counts (..., 3, C) → Cartesian shift
+    rows of the same shape: orthorhombic u_d·L_d, triclinic h @ u per
+    column.  Shared by every roll-sweep stack builder (packed_lj_force,
+    packed_pallas/_pallas2, the order-CV sweeps)."""
+    u = jnp.asarray(ushift, jnp.float32)
+    if box.tilt is None:
+        L = jnp.reshape(jnp.asarray(box.L, jnp.float32),
+                        (1,) * (u.ndim - 2) + (3, 1))
+        return u * L
+    return jnp.einsum("de,...ec->...dc", h_matrix(box), u)
 
 
 @struct.dataclass
@@ -106,12 +137,29 @@ class PackedSpec:
                uniform_sigma: Optional[float] = None,
                uniform_eps: Optional[float] = None,
                pair_kind: str = "lj",
-               bond_slots: int = 2) -> "PackedSpec":
+               bond_slots: int = 2,
+               tilt=None) -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
             L = np.repeat(L, 3)
         r_list = r_cut + skin
-        cpd = tuple(int(np.floor(l / r_list)) for l in L)
+        if tilt is not None:
+            # triclinic sizing: a fractional cell layer of thickness
+            # 1/cpd_d has perpendicular width w_perp_d/cpd_d; the 27-cell
+            # roll stencil covers r_list exactly when that width ≥ r_list
+            # (HOOMD BoxDim parity — same criterion as its CellList)
+            xy, xz, yz = (float(t) for t in np.asarray(tilt).reshape(3))
+            h = np.array([[L[0], xy * L[1], xz * L[2]],
+                          [0.0, L[1], yz * L[2]],
+                          [0.0, 0.0, L[2]]])
+            a, b, c = h[:, 0], h[:, 1], h[:, 2]
+            vol = abs(np.dot(a, np.cross(b, c)))
+            w = np.array([vol / np.linalg.norm(np.cross(b, c)),
+                          vol / np.linalg.norm(np.cross(c, a)),
+                          vol / np.linalg.norm(np.cross(a, b))])
+        else:
+            w = L
+        cpd = tuple(int(np.floor(wd / r_list)) for wd in w)
         assert min(cpd) >= 3, (
             f"box too small for cell decomposition: cells_per_dim={cpd}; "
             "use the all-pairs engine")
@@ -157,12 +205,18 @@ class PackedState:
 
 
 def _cell_id_packed(r: jax.Array, box: Box, spec: PackedSpec) -> jax.Array:
-    """Linear cell id per slot/particle from (3, M) coordinates."""
+    """Linear cell id per slot/particle from (3, M) coordinates.
+
+    Binning is FRACTIONAL (lattice coordinates), so the same cell grid
+    covers orthorhombic and tilted cells: a cell is a parallelepiped of
+    fractional thickness 1/cpd_d whose perpendicular width
+    w_perp_d / cpd_d ≥ r_list is guaranteed by PackedSpec sizing."""
     cpd = np.asarray(spec.cells_per_dim, np.int32)
+    f = _frac3(r, box)
     out = jnp.zeros(r.shape[1], jnp.int32)
     for d in range(3):
-        frac = r[d] / box.L[d] + 0.5
-        c = jnp.clip(jnp.floor(frac * cpd[d]).astype(jnp.int32), 0, cpd[d] - 1)
+        c = jnp.clip(jnp.floor((f[d] + 0.5) * cpd[d]).astype(jnp.int32),
+                     0, cpd[d] - 1)
         out = out * cpd[d] + c
     return out
 
@@ -193,11 +247,12 @@ def _wrap_state(state: PackedState) -> PackedState:
 
     Called ONLY inside pack/repack: between repacks coordinates drift
     continuously (a per-step wrap would teleport a coordinate by ±L while
-    the slot cell still implies the old side — see integrate/packed.py)."""
-    L = state.box.L[:, None]
-    shift = jnp.floor(state.r / L + 0.5)
+    the slot cell still implies the old side — see integrate/packed.py).
+    Image counters count LATTICE VECTORS (fractional wrap under tilt,
+    matching core/box.wrap)."""
+    shift = jnp.floor(_frac3(state.r, state.box) + 0.5)
     return state.replace(
-        r=state.r - L * shift,
+        r=state.r - _cart3(shift, state.box),
         image=state.image + shift.astype(jnp.int32),
     )
 
@@ -245,9 +300,9 @@ def pack(
             else jnp.asarray(vel, jnp.float32).T)
     im_in = (jnp.zeros((3, n), jnp.int32) if image is None
              else jnp.asarray(image, jnp.int32).T)
-    # wrap into the box (image counters track the shift)
-    shift_in = jnp.floor(r_in / box.L[:, None] + 0.5)
-    r_in = r_in - box.L[:, None] * shift_in
+    # wrap into the box (image counters track lattice-vector shifts)
+    shift_in = jnp.floor(_frac3(r_in, box) + 0.5)
+    r_in = r_in - _cart3(shift_in, box)
     im_in = im_in + shift_in.astype(jnp.int32)
     cid = _cell_id_packed(r_in, box, spec)
     slot, overflow = _slot_assignment(cid, jnp.ones(n, bool), spec)
@@ -312,24 +367,40 @@ def pack_host(
     sort-free incremental repack handles all subsequent migrations
     on-device.  Mirrors pack()'s f32 arithmetic and stable ordering.
     """
-    assert box.tilt is None, (
-        "the packed cell engine requires an orthorhombic box — triclinic "
-        "runs use the all-pairs engine (core/box.py docstring)")
     n = spec.n_real
     cpd = np.asarray(spec.cells_per_dim, np.int32)
     C, cap, npad = spec.n_cells, spec.cap, spec.n_pad
-    L = np.asarray(box.L, np.float32).reshape(3)
     r = np.asarray(pos, np.float32).T.copy()            # (3, N)
     v = (np.zeros_like(r) if vel is None
          else np.asarray(vel, np.float32).T)
     im = (np.zeros((3, n), np.int32) if image is None
           else np.asarray(image, np.int32).T)
-    shift = np.floor(r / L[:, None] + np.float32(0.5))
-    r = r - L[:, None] * shift
+    # fractional wrap + bin (numpy twin of _frac3/_cart3: identical f32
+    # math in the orthorhombic case, h/h⁻¹ matmuls under tilt)
+    if box.tilt is None:
+        L = np.asarray(box.L, np.float32).reshape(3)
+        hmat = np.diag(L)
+        hinv = np.diag(1.0 / L)
+    else:
+        hmat = np.asarray(h_matrix(box), np.float32)
+        hinv = np.asarray(h_inverse(box), np.float32)
+    if box.tilt is None:
+        f = r / L[:, None]
+    else:
+        f = (hinv @ r).astype(np.float32)
+    shift = np.floor(f + np.float32(0.5))
+    if box.tilt is None:
+        r = r - L[:, None] * shift
+    else:
+        r = (r - hmat @ shift).astype(np.float32)
+        f = (hinv @ r).astype(np.float32)
     im = im + shift.astype(np.int32)
     cid = np.zeros(n, np.int64)
     for d in range(3):
-        frac = r[d] / L[d] + np.float32(0.5)
+        if box.tilt is None:
+            frac = r[d] / L[d] + np.float32(0.5)
+        else:
+            frac = f[d] + np.float32(0.5)
         c = np.clip(np.floor(frac * cpd[d]).astype(np.int64), 0, cpd[d] - 1)
         cid = cid * cpd[d] + c
     order = np.argsort(cid, kind="stable")
@@ -451,10 +522,11 @@ def repack_incremental(state: PackedState, spec: PackedSpec
     cpd = np.asarray(dims, np.int32)
     old_coords = _cell_coords_static(spec)                  # (3, C) static
 
-    # new cell coords per slot from positions, (3, Npad)
+    # new cell coords per slot from FRACTIONAL positions, (3, Npad)
+    f3 = _frac3(state.r, state.box)
     new_c = []
     for d in range(3):
-        frac = state.r[d] / state.box.L[d] + 0.5
+        frac = f3[d] + 0.5
         c = jnp.clip(jnp.floor(frac * cpd[d]).astype(jnp.int32), 0, cpd[d] - 1)
         new_c.append(c.reshape(cap, C))
 
@@ -525,13 +597,11 @@ def repack_incremental(state: PackedState, spec: PackedSpec
 
 
 def needs_repack(state: PackedState, spec: PackedSpec) -> jax.Array:
-    """Half-skin displacement criterion over valid slots."""
-    d2 = jnp.zeros(state.n_pad, jnp.float32)
-    for dim in range(3):
-        dx = state.r[dim] - state.ref_r[dim]
-        L = state.box.L[dim]
-        dx = dx - L * jnp.round(dx / L)
-        d2 = d2 + dx * dx
+    """Half-skin displacement criterion over valid slots (minimum image
+    by fractional rounding — exact for sub-skin displacements)."""
+    dr = state.r - state.ref_r
+    dr = dr - _cart3(jnp.round(_frac3(dr, state.box)), state.box)
+    d2 = jnp.sum(dr * dr, axis=0)
     d2 = jnp.where(state.pid < spec.n_real, d2, 0.0)
     return jnp.max(d2) > (0.5 * spec.skin) ** 2
 
@@ -590,7 +660,6 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
     se4 = view(state.attrs["se"].reshape(cap, C))
     hs4 = view(state.attrs["hs"].reshape(cap, C))
     rc2 = jnp.float32(spec.r_cut**2)
-    L = state.box.L
 
     # j-axis chunking: the full (cap, cap, C) pair block OOMs at ~1M
     # particles with generous caps; process j in slabs of j_block rows
@@ -670,8 +739,8 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
 
     for (o, ushift) in _roll_offsets(spec):
         roll = lambda a: jnp.roll(a, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3))
-        shift = jnp.asarray(ushift)                                   # (3, C)
-        rolled_x = [roll(x4[d]).reshape(cap, C) + shift[d][None, :] * L[d]
+        shift = shift_rows_cart(ushift, state.box)                    # (3, C)
+        rolled_x = [roll(x4[d]).reshape(cap, C) + shift[d][None, :]
                     for d in range(3)]
         rolled_se = roll(se4).reshape(cap, C)
         rolled_hs = roll(hs4).reshape(cap, C)

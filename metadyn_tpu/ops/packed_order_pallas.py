@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import PackedSpec, PackedState, VACANT_THR, VACANT_X
+from .packed import (PackedSpec, PackedState, VACANT_THR, VACANT_X,
+                     shift_rows_cart)
 from .packed_pallas2 import _half_offsets, _roll_cells_flat
 
 
@@ -52,13 +53,14 @@ def _order_stacks(state: PackedState, spec: PackedSpec):
         sy = ((iy + oy) // cy).astype(np.float32)
         sz = ((iz + oz) // cz).astype(np.float32)
         ushifts.append(np.stack([sx, sy, sz]))
-    ushift = jnp.asarray(np.stack(ushifts))     # (14, 3, C)
+    # (14, 3, C) lattice wrap counts → Cartesian shifts (tilt-aware)
+    shift = shift_rows_cart(np.stack(ushifts), state.box)
 
     stacks = []
     for d in range(3):
         x2 = state.r[d].reshape(cap, C)
         rolled = jnp.stack([_roll_cells_flat(x2, o, dims) for o in offs])
-        stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
+        stacks.append(rolled + shift[:, d][:, None, :])
     vi = None
     if spec.uniform_eps is None:
         valid = (state.pid < spec.n_real).astype(jnp.float32).reshape(cap, C)

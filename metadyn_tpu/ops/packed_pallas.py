@@ -33,7 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import PackedSpec, PackedState, _roll_offsets, _fene_wca_pair
+from .packed import (PackedSpec, PackedState, _roll_offsets, _fene_wca_pair,
+                     shift_rows_cart)
 
 
 def _rolled_stacks(state: PackedState, spec: PackedSpec):
@@ -41,7 +42,8 @@ def _rolled_stacks(state: PackedState, spec: PackedSpec):
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
     offs = _roll_offsets(spec)
-    ushift = jnp.asarray(np.stack([u for (_, u) in offs]))   # (27, 3, C)
+    # (27, 3, C) lattice wrap counts → Cartesian shifts (tilt-aware)
+    shift = shift_rows_cart(np.stack([u for (_, u) in offs]), state.box)
     view = lambda a: a.reshape(cap, cx, cy, cz)
     stacks = []
     for d in range(3):
@@ -50,7 +52,7 @@ def _rolled_stacks(state: PackedState, spec: PackedSpec):
             jnp.roll(x4, shift=(-o[0], -o[1], -o[2]), axis=(1, 2, 3)).reshape(cap, C)
             for (o, _) in offs
         ])                                                    # (27, cap, C)
-        stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
+        stacks.append(rolled + shift[:, d][:, None, :])
     extra = [state.attrs["se"], state.attrs["hs"]]
     if spec.has_bonds:
         extra.append(state.pid.astype(jnp.float32))

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .packed import PackedSpec, PackedState, _fene_wca_pair
+from .packed import PackedSpec, PackedState, _fene_wca_pair, shift_rows_cart
 
 
 def _half_offsets():
@@ -101,13 +101,14 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
         sy = ((iy + oy) // cy).astype(np.float32)
         sz = ((iz + oz) // cz).astype(np.float32)
         ushifts.append(np.stack([sx, sy, sz]))
-    ushift = jnp.asarray(np.stack(ushifts))     # (14, 3, C)
+    # (14, 3, C) lattice wrap counts → Cartesian shifts (tilt-aware)
+    shift = shift_rows_cart(np.stack(ushifts), state.box)
 
     stacks = []
     for d in range(3):
         x2 = state.r[d].reshape(cap, C)
         rolled = jnp.stack([_roll_cells_flat(x2, o, dims) for o in offs])
-        stacks.append(rolled + (ushift[:, d] * state.box.L[d])[:, None, :])
+        stacks.append(rolled + shift[:, d][:, None, :])
     # uniform-sigma systems skip the hs stack: sig is a compile-time const
     # and se (= √ε, 0 on vacant slots) carries the vacancy mask — unless
     # uniform_eps is ALSO set, in which case vacancy is encoded by the

@@ -208,6 +208,10 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
 
     def force(state: PackedState) -> PackedState:
+        assert state.box.tilt is None, (
+            "spatial DD shards orthorhombic slabs only (tilted halo "
+            "shifts are out of scope; HOOMD restricts strong-tilt "
+            "decompositions similarly)")
         f, e, w = sharded(state.r.reshape(3, cap, C),
                           state.pid.reshape(cap, C),
                           {k: state.attrs[k].reshape(cap, C)
