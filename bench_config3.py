@@ -8,7 +8,15 @@ and their analytic gradients over the cell-pair structure (Newton-halved
 sweeps + closed-form dY_lm contraction; see cv/packed_order.py).  History:
 1.4M (vjp path, r1) → 4.9M (analytic two-pass, r2) → 18.4M (fused
 one-traversal sweeps + bias-force MTS) → 29.1M (VMEM-resident Pallas
-order kernels, on by default on TPU).  The
+order kernels, on by default on TPU) → ~40M (cell-grid retune below).
+
+Cell-grid tuning (round 3): skin 0.4→0.3 moves the grid 13³→14³ and the
+measured max occupancy to exactly 32 (fcc-commensurate cells), so cap
+40→32 — pair-lane work on BOTH the pair kernel and the order sweeps
+drops ×(32/40)²·(2744/2197) ≈ 0.80.  Margin is zero by construction
+(occupancy == cap at the aligned cells), which is SAFE: a 33rd arrival
+sets the repack overflow flag and the run-validity check below fails
+loudly (stress-tested 3000 biased steps, no overflow, 39–40M).  The
 neighbor-table path (ops/neighbor_table) was measured SLOWER here —
 XLA TPU gather does ~0.5 G random accesses/s, so the (K, Npad) gather
 costs ~19 ms vs the 5.6 ms masked roll traversal; the hot path stays
@@ -53,7 +61,7 @@ def main():
     L = n_cells * a
     box = Box.cubic(L)
     kT = 0.6
-    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40,
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.3, cap=32,
                              shift_energy=False, uniform_sigma=1.0,
                              uniform_eps=1.0)
     engine = PackedEngine(spec, rebuild_every=10)
