@@ -468,3 +468,16 @@ def test_cli_walkers_times_spatial(tmp_path):
                             "sigma": 7.5}}]
     with _pytest.raises(ValueError, match="product mesh"):
         build_sampler(bad)
+
+
+def test_cli_triclinic_packed(tmp_path):
+    """system.tilt on the packed production engine: biased MD in a tilted
+    cell through the CLI (examples/triclinic_packed.yaml, shrunk)."""
+    p, cfg = _shrunk(
+        "examples/triclinic_packed.yaml", tmp_path,
+        system={"init": {"n_cells": 7}},
+        run={"n_steps": 100, "report_every": 100},
+        metadynamics={"stride": 50})
+    assert main(["run", p]) == 0
+    rows = open(cfg["output"]["hill_file"]).readlines()
+    assert len(rows) >= 2  # header + >=1 hill deposited in the tilted box
