@@ -74,7 +74,6 @@ def _offset_pair_sweep(state: PackedState, spec: PackedSpec, per_pair,
     else:
         x4 = [view(state.r[d].reshape(cap, C)) for d in range(3)]
         valid4 = view(valid)
-        L = state.box.L
 
         def full_iter():
             for (o, ushift) in _roll_offsets(spec):

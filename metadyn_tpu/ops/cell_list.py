@@ -110,8 +110,9 @@ _OFFSETS = np.array(
 
 def _cell_coords(pos: jax.Array, box: Box, spec: CellSpec) -> jax.Array:
     assert box.tilt is None, (
-        "cell decomposition requires an orthorhombic box — triclinic runs "
-        "use the all-pairs engine (core/box.py docstring)")
+        "the particle-order cell list is orthorhombic-only — triclinic "
+        "runs use the all-pairs engine or the packed cell engine "
+        "(fractional binning, ops/packed.py)")
     cpd = jnp.asarray(spec.cells_per_dim, jnp.int32)
     # positions live in [-L/2, L/2); map to [0, 1) then cells
     frac = pos / box.L + 0.5

@@ -69,8 +69,8 @@ def test_repack_preserves_physics():
     st = packed_lj_force(st, spec)
     e0 = float(st.potential_energy)
     # drift positions (wrapped, as the MD loop always does), then repack
-    from metadyn_tpu.integrate.packed import _wrap_packed
-    st2 = _wrap_packed(st.replace(r=st.r + 0.9))
+    from metadyn_tpu.ops.packed import _wrap_state
+    st2 = _wrap_state(st.replace(r=st.r + 0.9))
     assert bool(needs_repack(st2, spec))
     st3, ovf2 = repack(st2, spec)
     assert not bool(ovf2)

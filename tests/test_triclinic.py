@@ -200,14 +200,16 @@ def test_md_in_tilted_box():
     assert (f >= -0.51).all() and (f <= 0.51).all()
 
 
-def test_cell_paths_reject_triclinic():
-    """The packed/cell-decomposition hot paths refuse tilted boxes with a
-    clear message instead of silently mis-binning."""
-    from metadyn_tpu.ops.packed import PackedSpec, pack_host
+def test_remaining_triclinic_guards():
+    """Paths that stay orthorhombic-only refuse tilted boxes with a clear
+    message instead of silently mis-binning: the particle-order cell
+    list; the packed engine itself now SUPPORTS tilt
+    (tests/test_packed_triclinic.py)."""
+    from metadyn_tpu.ops.cell_list import CellSpec, build_neighbor_list
 
     box = _tilted(L=12.0)
-    spec = PackedSpec.create(12.0, 16, r_cut=2.5, skin=0.4, cap=8)
-    pos = np.random.default_rng(6).uniform(-6, 6, (16, 3)).astype(np.float32)
+    pos = jnp.asarray(
+        np.random.default_rng(6).uniform(-6, 6, (16, 3)), jnp.float32)
+    spec = CellSpec.create(12.0, 16, r_cut=2.5, skin=0.4)
     with pytest.raises(AssertionError, match="orthorhombic"):
-        pack_host(pos, box, spec, np.zeros(16, np.int32),
-                  np.ones(16), np.ones(16))
+        build_neighbor_list(pos, box, spec)
