@@ -94,11 +94,48 @@ def generate_snapshot():
     return liq_pos, liq_vel, L
 
 
+def preflight_device(tries: int = 3, per_try_s: int = 110) -> bool:
+    """Bounded check that the TPU device layer responds at all.
+
+    A wedged axon tunnel hangs PJRT *init* indefinitely (observed round 3:
+    ``jax.devices()`` blocked >9 min with ~0 CPU), which would silently
+    consume the driver's whole bench budget.  Probe in a SUBPROCESS (a hung
+    in-process init cannot be interrupted), retry with fresh clients —
+    a lost claim grant can succeed on a re-dial — and give up loudly.
+    """
+    import os
+    import subprocess
+    if os.environ.get("BENCH_SKIP_PREFLIGHT"):
+        return True
+    tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", tries))
+    per_try_s = int(os.environ.get("BENCH_PREFLIGHT_SECS", per_try_s))
+    for t in range(tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(len(jax.devices()))"],
+                timeout=per_try_s, capture_output=True, text=True)
+            if r.returncode == 0:
+                return True
+            print(f"bench preflight: device probe rc={r.returncode}: "
+                  f"{r.stderr.strip()[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench preflight: device init hung >{per_try_s}s "
+                  f"(attempt {t + 1}/{tries}) — TPU tunnel unresponsive",
+                  file=sys.stderr)
+        time.sleep(5)
+    return False
+
+
 def main():
     t00 = time.time()
     import os
     if os.environ.get("BENCH_FORCE_FAIL"):  # retry-path test hook
         raise RuntimeError("injected failure (BENCH_FORCE_FAIL)")
+    if not preflight_device():
+        print("bench: giving up — TPU device layer never responded "
+              "(tunnel wedged); no measurement possible", file=sys.stderr)
+        return 2
     if SNAP.exists():
         d = np.load(SNAP)
         liq_pos, liq_vel, L = d["pos"], d["vel"], float(d["L"])
