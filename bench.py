@@ -109,11 +109,15 @@ def preflight_device(tries: int = 3, per_try_s: int = 110) -> bool:
         return True
     tries = int(os.environ.get("BENCH_PREFLIGHT_TRIES", tries))
     per_try_s = int(os.environ.get("BENCH_PREFLIGHT_SECS", per_try_s))
+    # test hook: substitute the probe body so the timeout path is testable
+    # without dialing the real tunnel (a killed dial can queue a stale
+    # claim on the pool side)
+    probe = os.environ.get("BENCH_PREFLIGHT_PROBE",
+                           "import jax; print(len(jax.devices()))")
     for t in range(tries):
         try:
             r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(len(jax.devices()))"],
+                [sys.executable, "-c", probe],
                 timeout=per_try_s, capture_output=True, text=True)
             if r.returncode == 0:
                 return True

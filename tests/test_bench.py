@@ -37,7 +37,8 @@ def test_bench_preflight_timeout_fails_fast():
     budget) exits rc=2 with a tunnel diagnosis in the tail — bounded,
     never hanging the driver's whole bench budget."""
     r = _run_bench({"BENCH_PREFLIGHT_TRIES": "1",
-                    "BENCH_PREFLIGHT_SECS": "1"})
+                    "BENCH_PREFLIGHT_SECS": "1",
+                    "BENCH_PREFLIGHT_PROBE": "import time; time.sleep(30)"})
     assert r.returncode == 2
     assert "TPU tunnel unresponsive" in r.stderr
     assert "no measurement possible" in r.stderr
