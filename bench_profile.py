@@ -10,8 +10,8 @@ of a long lax.scan whose carry changes every iteration.
 import time
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from metadyn_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 import jax.numpy as jnp
 
 from metadyn_tpu.core.box import Box

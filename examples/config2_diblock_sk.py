@@ -8,8 +8,8 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from metadyn_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 
 import jax.numpy as jnp
 import numpy as np

@@ -541,11 +541,11 @@ def build_sampler(cfg: dict, resume: bool = False):
 
 def cmd_run(args) -> int:
     import jax
-    # persistent compile cache: first TPU compile of a biased step is slow
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("METADYN_JAX_CACHE",
-                                     os.path.expanduser("~/.jax_cache")))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # persistent compile cache: first TPU compile of a biased step is slow.
+    # Host-scoped dir (utils/cache.py; METADYN_JAX_CACHE overrides) — a
+    # shared dir can replay another host's CPU AOT code → SIGSEGV.
+    from .utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     import yaml
     from .io.metrics import CSVLogger
     from .io.grid_file import dump_grid

@@ -22,12 +22,15 @@ import jax  # noqa: E402
 # enough in this container.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compile cache: the suite is compile/trace-bound on this
-# 1-CPU box (full run ~27 min, mostly XLA + shard_map tracing), and
-# HLO-keyed cache entries are safe across code edits (changed graphs
-# simply miss).
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+# Compile-cache policy (utils/cache.py): persistent cache DISABLED on
+# cpu — reloading cached 8-virtual-device CPU executables segfaults
+# (XLA:CPU AOT round-trip bug, observed round 3 in
+# test_cli_walkers_times_spatial: cold compile passes, warm reload
+# SIGSEGVs), and cross-host entries are poison outright.  The suite is
+# trace-bound, so fresh compiles cost little.
+from metadyn_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()
 
 import pytest  # noqa: E402
 

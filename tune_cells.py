@@ -13,8 +13,8 @@ import time
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+from metadyn_tpu.utils.cache import enable_persistent_cache
+enable_persistent_cache()
 
 import numpy as np
 
@@ -86,13 +86,13 @@ def main():
     dt = time.time() - t0
     rate = n * n_meas / dt
     m = hist[-1]
-    pos = unpack_positions(sampler.carry[0], spec)
+    pos = unpack_positions(sampler.carry.state, spec)
     occ_hist.append(max_occ(pos, L, cpd))
     # extended occupancy stress: more biased blocks, occupancy each block
     for b in range(6):
         hist = sampler.run(stride * 8)
         m = hist[-1]
-        pos = unpack_positions(sampler.carry[0], spec)
+        pos = unpack_positions(sampler.carry.state, spec)
         occ_hist.append(max_occ(pos, L, cpd))
     print(f"rate={rate/1e6:.1f}M ps/s  overflow={bool(m['nlist_overflow'])} "
           f"finite={bool(np.isfinite(m['potential_energy']))} "
