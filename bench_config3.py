@@ -4,23 +4,21 @@ LITERAL config — Steinhardt Q6 + coordination CVs on a 2-D well-tempered
 grid — reported alongside bench.py's headline number (VERDICT r1 item 10).
 
 The order-CV sweeps dominate: per step the bias force evaluates both CVs
-and their analytic gradients over the cell-pair structure (Newton-halved
-sweeps + closed-form dY_lm contraction; see cv/packed_order.py).  History:
+and their analytic gradients over the cell-pair structure.  History:
 1.4M (vjp path, r1) → 4.9M (analytic two-pass, r2) → 18.4M (fused
 one-traversal sweeps + bias-force MTS) → 29.1M (VMEM-resident Pallas
-order kernels, on by default on TPU) → ~40M (cell-grid retune below).
+order kernels) → 40.4M (cell-grid retune) → 55M (round 4: the fully-
+fused lagged-MTS kernel, ops/packed_fused_pallas.py — the trailing force
+call of each 10-step MTS sub-chunk computes LJ force + bias force +
+fresh CV terms in ONE traversal; no separate CV sweep remains in the hot
+loop.  Interleaved P_lm/u^m value+force chains, oracle-tested).
 
-Cell-grid tuning (round 3): skin 0.4→0.3 moves the grid 13³→14³ and the
-measured max occupancy to exactly 32 (fcc-commensurate cells), so cap
-40→32 — pair-lane work on BOTH the pair kernel and the order sweeps
-drops ×(32/40)²·(2744/2197) ≈ 0.80.  Margin is zero by construction
-(occupancy == cap at the aligned cells), which is SAFE: a 33rd arrival
-sets the repack overflow flag and the run-validity check below fails
-loudly (stress-tested 3000 biased steps, no overflow, 39–40M).  The
-neighbor-table path (ops/neighbor_table) was measured SLOWER here —
-XLA TPU gather does ~0.5 G random accesses/s, so the (K, Npad) gather
-costs ~19 ms vs the 5.6 ms masked roll traversal; the hot path stays
-on the roll sweep + Pallas order kernel.
+Cell-grid tuning (round 3): skin 0.3 → 14³ cells, measured max occupancy
+exactly 32 (fcc-commensurate cells), cap 32.  Round 4 removes the
+zero-margin cliff the honest way: if the cap-32 run trips the overflow
+guard (a re-equilibrated snapshot or different seed CAN exceed 32), the
+bench automatically re-runs once with cap=36 (+2 sublanes of headroom,
+~13% slower) and reports THAT number instead of failing the gate.
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is against the same 50M north star for context (the north
@@ -52,7 +50,11 @@ from metadyn_tpu.utils.lattice import fcc_lattice
 BASELINE = 50e6
 
 
-def main():
+def run_once(cap: int):
+    """One measured bench pass at the given cell capacity.
+
+    Returns (rate, ok) — ok=False when the run-validity guard trips
+    (overflow/NaN), in which case rate is meaningless."""
     rho = 0.95                         # supercooled: nucleation regime
     a = (4.0 / rho) ** (1.0 / 3.0)
     n_cells = 25
@@ -61,7 +63,7 @@ def main():
     L = n_cells * a
     box = Box.cubic(L)
     kT = 0.6
-    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.3, cap=32,
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.3, cap=cap,
                              shift_energy=False, uniform_sigma=1.0,
                              uniform_eps=1.0)
     engine = PackedEngine(spec, rebuild_every=10)
@@ -72,7 +74,8 @@ def main():
     state, overflow = engine.pack_state(
         pos, box, jnp.zeros(n, jnp.int32),
         eps_i=jnp.ones(n), sigma_i=jnp.ones(n), vel=vel)
-    assert not bool(overflow), "cell capacity overflow at pack"
+    if bool(overflow):
+        return 0.0, False
 
     nn = a / np.sqrt(2)
     q6 = PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6")
@@ -88,10 +91,11 @@ def main():
             f, dt=0.004, kT=kT, gamma=1.0),
         seed=0, chunks_per_block=2,
         walls=WallSpec.at_grid_edges(grid, k=200.0),
-        # bias-force MTS (sampler.make_stride_chunk): the global 64k-atom
-        # CVs drift negligibly over 5 steps (≪ hill σ), so the CV sweeps
-        # run once per 5 MD steps — the PLUMED MULTIPLE_TIME_STEP setting
-        bias_every=5)
+        # lagged fused MTS (sampler.make_lagged_parts): the global
+        # 64k-atom CVs drift negligibly over 10 steps (≪ hill σ) — the
+        # PLUMED MULTIPLE_TIME_STEP approximation, with the trailing
+        # force call of each sub-chunk fused into one Pallas traversal
+        bias_every=10, mts_lag=True)
 
     sampler.run(stride * 2)            # compile + settle
     n_meas = stride * 4
@@ -103,6 +107,14 @@ def main():
     m = hist[-1]
     ok = (np.isfinite(m["potential_energy"]) and np.isfinite(m["cv"]).all()
           and not bool(m["nlist_overflow"]))
+    return rate, ok
+
+
+def main():
+    rate, ok = run_once(cap=32)
+    if not ok:
+        # occupancy cliff: retry once with sublane headroom (see docstring)
+        rate, ok = run_once(cap=36)
     if not ok:
         print(json.dumps({"metric": "config3_q6_coord_particle_steps_per_sec",
                           "value": 0.0, "unit": "particle-steps/s",

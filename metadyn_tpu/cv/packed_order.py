@@ -157,6 +157,32 @@ class PackedSteinhardtQl:
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
+    # --- homogeneous-monomial protocol (ops/packed_fused_pallas.py) ------
+    # The fused LJ+CV kernel accumulates Σ w·mono_l(u) per pair and
+    # contracts three static-per-eval coefficient vectors for the force;
+    # these methods supply the (cached) basis-change matrices.
+    sphere_poly = True
+
+    def mono_value_decode(self, mono_sums, nb):
+        """(Σ w·mono_l, Σ w) → the (re, im, nb) terms structure."""
+        from .ylm_mono import ylm_mono_matrix
+        C = jnp.asarray(ylm_mono_matrix(self.l), jnp.float32)
+        s = C @ mono_sums
+        return (s[:self.l + 1], s[self.l + 1:], nb)
+
+    def mono_force_vecs(self, aux):
+        """grad_aux output → (bx, by, bz) degree-(l−1) coefficient
+        vectors: per pair ∂φ/∂u_α = b_α·mono_{l−1}(u) with φ the biased
+        per-pair scalar of :meth:`pair_grad_terms` (oracle-tested)."""
+        from .ylm_mono import diff_matrices, ylm_mono_matrix
+        gre, gim = aux
+        C = jnp.asarray(ylm_mono_matrix(self.l), jnp.float32)
+        a = jnp.stack([jnp.asarray(x, jnp.float32)
+                       for x in (list(gre) + list(gim))]) @ C
+        Dx, Dy, Dz = (jnp.asarray(D, jnp.float32)
+                      for D in diff_matrices(self.l))
+        return Dx @ a, Dy @ a, Dz @ a
+
     # --- kernel-level (flat scalar) protocol ------------------------------
     # The Pallas order kernels (ops/packed_order_pallas.py) accumulate the
     # per-pair partials as FLAT SCALARS in output lanes — no small-array
@@ -284,6 +310,67 @@ class PackedSteinhardtQl:
         z = jnp.float32(0.0)
         return (jnp.where(inside, gx, z), jnp.where(inside, gy, z),
                 jnp.where(inside, gz, z))
+
+    def pair_value_and_grad(self, dx, dy, dz, r2, wv, aux):
+        """Interleaved per-pair value + bias-force math with SHARED
+        P_lm/u^m recurrence chains — the fused-kernel hot path
+        (ops/packed_fused_pallas.py): computing both in one pass reuses
+        pl_, pr, pi across the value sums and the force accumulators
+        (~25% fewer VPU ops than calling :meth:`pair_value_terms_flat`
+        and :meth:`pair_grad_terms` separately; oracle-tested).
+
+        ``wv``: value weight (validity × Newton weight; the r_cut mask is
+        applied internally).  ``aux``: (gre, gim) from :meth:`grad_aux`.
+        Returns (flat value terms, gx, gy, gz) with the force components
+        masked to real in-cutoff pairs."""
+        gre, gim = aux
+        coeffs = _plm_over_sinm_coeffs(self.l)
+        dcoeffs = [np.asarray([c[i] * i for i in range(1, c.shape[0])]
+                              or [0.0]) for c in coeffs]
+        norms = _norms(self.l)
+        inside = (r2 < self.r_cut ** 2) & (r2 > 1e-12)
+        insf = inside.astype(jnp.float32)
+        w = wv * insf
+        r2s = jnp.where(r2 > 1e-12, r2, 1.0)
+        inv_r = jax.lax.rsqrt(r2s)
+        cth = dz * inv_r
+        ux, uy = dx * inv_r, dy * inv_r
+        pr = jnp.ones_like(cth)
+        pi = jnp.zeros_like(cth)
+        qr = jnp.zeros_like(cth)
+        qi = jnp.zeros_like(cth)
+        D = jnp.zeros_like(cth)
+        E = jnp.zeros_like(cth)
+        F = jnp.zeros_like(cth)
+        BU = jnp.zeros_like(cth)
+        re_out, im_out = [], []
+        for m in range(self.l + 1):
+            pl_ = jnp.zeros_like(cth)
+            for a in coeffs[m][::-1]:
+                pl_ = pl_ * cth + a
+            dpl = jnp.zeros_like(cth)
+            for a in dcoeffs[m][::-1]:
+                dpl = dpl * cth + a
+            wn = w * (norms[m] * pl_)
+            re_out.append(jnp.sum(wn * pr))
+            im_out.append(jnp.sum(wn * pi))
+            a_re = gre[m]
+            a_im = gim[m]
+            D = D + norms[m] * dpl * (a_re * pr + a_im * pi)
+            if m > 0:
+                br = m * (a_re * qr + a_im * qi)
+                bi = m * (a_re * qi - a_im * qr)
+                E = E + norms[m] * pl_ * br
+                F = F + norms[m] * pl_ * bi
+                BU = BU + norms[m] * pl_ * (br * ux - bi * uy)
+            qr, qi = pr, pi
+            pr, pi = pr * ux - pi * uy, pr * uy + pi * ux
+        mi = insf * inv_r
+        gx = (D * (-cth * ux) + E - ux * BU) * mi
+        gy = (D * (-cth * uy) - F - uy * BU) * mi
+        gz = (D * (1.0 - cth * cth) - cth * BU) * mi
+        flat = tuple(re_out) + tuple(im_out) + (jnp.sum(w),)
+        return flat, gx, gy, gz
 
     def accum_bias_force(self, state: PackedState, system: System,
                          dVds: jax.Array, f_acc: jax.Array) -> jax.Array:

@@ -44,7 +44,13 @@ def make_packed_langevin_step(
     force_fn: Callable[[PackedState], PackedState],
     dt: float, kT: float, gamma: float = 1.0, mass: float = 1.0,
 ) -> PackedStepFn:
-    """BAOAB Langevin on packed state (cf. integrate/langevin.py)."""
+    """BAOAB Langevin on packed state (cf. integrate/langevin.py).
+
+    ``force_fn`` may return either the state (normal) or a
+    ``(state, extras)`` tuple — then ``step`` returns ``(state, extras)``
+    too.  The rich form lets the fused MTS kernel thread fresh CV terms
+    out of the trailing force call (sampler.make_stride_chunk lag path)
+    without a second traversal; the choice is trace-time static."""
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * kT / mass)
 
@@ -54,7 +60,11 @@ def make_packed_langevin_step(
         noise = jax.random.normal(key, v.shape, v.dtype)
         v = c1 * v + c2 * noise
         r = r + 0.5 * dt * v
-        state = force_fn(state.replace(r=_pin_vacant(r, state.r)))
+        out = force_fn(state.replace(r=_pin_vacant(r, state.r)))
+        if isinstance(out, tuple):
+            state, extras = out
+            return state.replace(v=v + (0.5 * dt / mass) * state.f), extras
+        state = out
         return state.replace(v=v + (0.5 * dt / mass) * state.f)
 
     return step

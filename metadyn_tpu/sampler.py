@@ -44,6 +44,9 @@ class SamplerCarry:
     aux: object
     key: jax.Array
     step: jax.Array  # () i32 global step counter
+    # lagged-MTS context (the CV value terms from the last fused trailing
+    # force call — see make_lagged_parts); None outside mts_lag runs
+    ctx: object = None
 
 
 class _CallableEngine:
@@ -192,6 +195,80 @@ def make_bias_force_parts(engine, cvs, system: System,
     return eval_bias, apply_force
 
 
+_HELD_G_ATTRS = ("held_gx", "held_gy", "held_gz")
+
+
+def make_lagged_parts(engine, cvs, system: System,
+                      walls: WallSpec | None = None):
+    """Machinery for the LAGGED fused-MTS path (``MetadSampler(mts_lag=
+    True)``): the trailing force call of each MTS sub-chunk's last MD
+    step runs ONE Pallas traversal (ops/packed_fused_pallas.py) that
+    returns the LJ force, the bias force, and fresh CV value terms.  The
+    bias coefficients (∂V/∂s and the outer CV gradient) come from the
+    PREVIOUS sub-chunk's terms — a one-sub-chunk lag, the same
+    slowly-varying-bias approximation ``bias_every`` already makes
+    (staleness ≤ 2·bias_every steps ≪ stride; FES-oracle-tested).
+
+    The held bias force rides in ``state.attrs`` so slot repacks permute
+    it with the particles; the terms ride in ``SamplerCarry.ctx``.
+
+    Returns ``(seed_eval, fused_force)`` or raises if the engine/CV
+    combination is unsupported (sentinel-layout packed engine + Pallas +
+    order CVs only)."""
+    spec = getattr(engine, "spec", None)
+    assert spec is not None and getattr(engine, "use_pallas", False), (
+        "mts_lag needs the packed engine with Pallas kernels")
+    assert spec.uniform_eps is not None and spec.uniform_sigma is not None \
+        and not spec.has_bonds, (
+            "mts_lag needs the lean sentinel layout (uniform_sigma + "
+            "uniform_eps, no bonds)")
+    assert all(hasattr(cv, "pair_value_terms_flat")
+               and hasattr(cv, "pair_grad_terms") for cv in cvs), (
+        "mts_lag supports the roll-sweep order CVs only")
+    assert not any(hasattr(cv, "bias_virial") for cv in cvs), (
+        "mts_lag: box-coupled CVs unsupported")
+    from .cv.packed_order import make_fused_order_force
+    from .ops.packed_fused_pallas import fused_lj_order_force
+    values_fn, force_fn = make_fused_order_force(list(cvs), spec,
+                                                 use_pallas=True)
+
+    def grad_with_walls(bias, s):
+        _, dVds = bias_value_and_grad(bias, s)
+        if walls is not None:
+            _, gw = walls.energy_and_grad(s)
+            dVds = dVds + gw
+        return dVds
+
+    def seed_eval(state, bias):
+        """Exact (non-lagged) eval: (g, terms) at the current positions —
+        used once at sampler init to seed the lag carry."""
+        s, ctx = values_fn(state)
+        terms, _stacks = ctx
+        dVds = grad_with_walls(bias, s)
+        return force_fn(state, ctx, dVds), terms
+
+    def fused_force(state, bias, terms):
+        """(f_lj, g_new, terms_new) at state's positions, with the bias
+        coefficients derived from the lagged ``terms``."""
+        s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
+        dVds = grad_with_walls(bias, s)
+        auxs = [cv.grad_aux(t, dVds[i])
+                for i, (cv, t) in enumerate(zip(cvs, terms))]
+        return fused_lj_order_force(state, spec, cvs, auxs)
+
+    return seed_eval, fused_force
+
+
+def held_g(state) -> jax.Array:
+    """The repack-safe held bias force (3, Npad) from the state attrs."""
+    return jnp.stack([state.attrs[k] for k in _HELD_G_ATTRS])
+
+
+def with_held_g(state, g: jax.Array):
+    return state.replace(attrs={**state.attrs,
+                                **dict(zip(_HELD_G_ATTRS, g))})
+
+
 def make_biased_force(engine, cvs, system: System, walls: WallSpec | None = None):
     """Engine force + metadynamics bias (+ optional CV wall).
 
@@ -218,6 +295,7 @@ def make_stride_chunk(
     bias_every: int = 1,
     bias_parts=None,
     add_hills: bool = True,
+    lag_parts=None,
 ):
     """One deposition stride: nested scan of rebuild blocks × MD steps,
     then deposit a hill — all fused into the jitted outer scan body.
@@ -258,6 +336,100 @@ def make_stride_chunk(
             f"min(rebuild_every, stride)={r}")
         assert bias_parts is not None
         eval_bias, apply_force = bias_parts
+
+    def finish(carry, state, aux, bias, ctx):
+        """Shared stride tail: energy refresh → deposit → metrics."""
+        with phase("energy_refresh"):
+            state = engine.refresh_energy(state, aux)
+        new_step = carry.step + hills.stride
+        with phase("cv_eval"):
+            s = cv_stack(cvs, state, system)
+        with phase("hill_deposit"):
+            if add_hills:
+                new_bias, rec = deposit(hills, bias, s, new_step)
+            else:
+                # frozen-bias run (reference ``add_hills=False``): the bias
+                # still exerts forces but is never updated — production
+                # sampling on a converged FES, e.g. after restart_from_grid
+                new_bias = bias
+                rec = HillRecord(step=new_step, center=s,
+                                 height=jnp.float32(0.0))
+        V, _ = bias_value_and_grad(new_bias, s)
+        if isinstance(new_bias, BiasState):
+            # CV outside the registered grid range → hills silently clamp;
+            # surface it like the reference's grid-bounds warning
+            oob = jnp.any((s < new_bias.grid.spec.lo)
+                          | (s > new_bias.grid.spec.hi))
+        else:
+            # list mode has no bounds; surface buffer overflow instead
+            oob = new_bias.overflowed
+        metrics = {
+            "step": new_step,
+            "cv": s,
+            "bias_V": V,
+            "hill_height": rec.height,
+            "cv_out_of_grid": oob,
+            **engine.metrics(state, aux),
+        }
+        return (SamplerCarry(state, new_bias, aux, carry.key, new_step,
+                             ctx=ctx), (rec, metrics))
+
+    if lag_parts is not None:
+        assert bias_every > 1, "mts_lag needs bias_every > 1"
+        _seed, fused_force = lag_parts
+
+        def lag_chunk(carry: SamplerCarry, _):
+            bias = carry.bias
+
+            def block(c, b):
+                state, aux, terms = c
+                with phase("nlist_rebuild"):
+                    state, aux = engine.rebuild(state, aux)
+
+                def sub(sc, j):
+                    st, terms = sc
+                    # bias_every−1 steps with the held (repack-safe) bias
+                    # force from the last fused call
+                    force_fn = lambda s2: engine.force_into(
+                        s2, aux, extra_force=held_g(s2))
+                    step_fn = integrator_factory(force_fn)
+
+                    def body(s2, i):
+                        k = jax.random.fold_in(
+                            carry.key,
+                            carry.step + b * r + j * bias_every + i)
+                        return step_fn(s2, k), None
+
+                    st, _ = jax.lax.scan(body, st,
+                                         jnp.arange(bias_every - 1))
+
+                    # final step: ONE fused traversal → LJ force + fresh
+                    # bias force (coefficients from the lagged terms) +
+                    # fresh terms for the next sub-chunk
+                    def rich_force(s2):
+                        f_lj, g_new, terms_new = fused_force(s2, bias,
+                                                             terms)
+                        s2 = with_held_g(s2.replace(f=f_lj + g_new), g_new)
+                        return s2, terms_new
+
+                    step_rich = integrator_factory(rich_force)
+                    k_last = jax.random.fold_in(
+                        carry.key, carry.step + b * r + j * bias_every
+                        + bias_every - 1)
+                    st, terms_new = step_rich(st, k_last)
+                    return (st, terms_new), None
+
+                with phase("md_steps"):
+                    (state, terms), _ = jax.lax.scan(
+                        sub, (state, terms), jnp.arange(r // bias_every))
+                return (state, aux, terms), None
+
+            (state, aux, terms), _ = jax.lax.scan(
+                block, (carry.state, carry.aux, carry.ctx),
+                jnp.arange(n_blocks))
+            return finish(carry, state, aux, bias, terms)
+
+        return lag_chunk
 
     def chunk(carry: SamplerCarry, _):
         bias = carry.bias
@@ -300,39 +472,7 @@ def make_stride_chunk(
 
         (state, aux), _ = jax.lax.scan(
             block, (carry.state, carry.aux), jnp.arange(n_blocks))
-        with phase("energy_refresh"):
-            state = engine.refresh_energy(state, aux)
-        new_step = carry.step + hills.stride
-        with phase("cv_eval"):
-            s = cv_stack(cvs, state, system)
-        with phase("hill_deposit"):
-            if add_hills:
-                new_bias, rec = deposit(hills, bias, s, new_step)
-            else:
-                # frozen-bias run (reference ``add_hills=False``): the bias
-                # still exerts forces but is never updated — production
-                # sampling on a converged FES, e.g. after restart_from_grid
-                new_bias = bias
-                rec = HillRecord(step=new_step, center=s,
-                                 height=jnp.float32(0.0))
-        V, _ = bias_value_and_grad(new_bias, s)
-        if isinstance(new_bias, BiasState):
-            # CV outside the registered grid range → hills silently clamp;
-            # surface it like the reference's grid-bounds warning
-            oob = jnp.any((s < new_bias.grid.spec.lo)
-                          | (s > new_bias.grid.spec.hi))
-        else:
-            # list mode has no bounds; surface buffer overflow instead
-            oob = new_bias.overflowed
-        metrics = {
-            "step": new_step,
-            "cv": s,
-            "bias_V": V,
-            "hill_height": rec.height,
-            "cv_out_of_grid": oob,
-            **engine.metrics(state, aux),
-        }
-        return SamplerCarry(state, new_bias, aux, carry.key, new_step), (rec, metrics)
+        return finish(carry, state, aux, bias, carry.ctx)
 
     return chunk
 
@@ -367,6 +507,7 @@ class MetadSampler:
         spill_grid: Optional[GridSpec] = None,
         bias_every: int = 1,
         add_hills: bool = True,
+        mts_lag: bool = False,
     ):
         """``grid_spec=None`` selects the reference's non-grid hill-list
         mode (SURVEY.md §3.1): pass ``hill_sigma`` (per-CV widths), and
@@ -380,7 +521,13 @@ class MetadSampler:
         ``add_hills=False`` freezes the bias (the reference's
         ``mode_metadynamics(add_hills=False)``): forces from the current
         bias (usually seeded via ``initial_bias``) are applied but no
-        hills are ever deposited and no hill file is written."""
+        hills are ever deposited and no hill file is written.
+
+        ``mts_lag=True`` (requires ``bias_every`` > 1, the sentinel-mode
+        packed engine and order CVs) deepens the MTS fusion: each
+        sub-chunk's trailing force call runs ONE Pallas traversal for LJ
+        force + bias force + fresh CV terms, with the bias coefficients
+        lagged by one sub-chunk (see :func:`make_lagged_parts`)."""
         if grid_spec is not None:
             assert len(cvs) == grid_spec.ndim, "one grid dimension per CV"
         else:
@@ -423,14 +570,27 @@ class MetadSampler:
             state, aux = engine.init(state)
             state = self.biased_force(state, aux, bias)
 
+        lag_parts = None
+        ctx0 = None
+        if mts_lag:
+            assert bias_every > 1, "mts_lag requires bias_every > 1"
+            lag_parts = make_lagged_parts(engine, cvs, system, walls)
+            seed_eval, _ = lag_parts
+
+            def _seed(st, b):
+                g0, terms0 = seed_eval(st, b)
+                return with_held_g(st, g0), terms0
+
+            state, ctx0 = jax.jit(_seed)(state, bias)
+
         self.carry = SamplerCarry(
             state=state, bias=bias, aux=aux,
-            key=jax.random.PRNGKey(seed), step=jnp.int32(0),
+            key=jax.random.PRNGKey(seed), step=jnp.int32(0), ctx=ctx0,
         )
         chunk = make_stride_chunk(
             engine, self.biased_force, cvs, system, hills, integrator_factory,
             bias_every=bias_every, bias_parts=self._bias_parts,
-            add_hills=add_hills)
+            add_hills=add_hills, lag_parts=lag_parts)
 
         def run_chunks(carry, n):
             return jax.lax.scan(chunk, carry, None, length=n)
