@@ -132,25 +132,12 @@ def preflight_device(tries: int = 3, per_try_s: int = 110) -> bool:
     return False
 
 
-def main():
-    t00 = time.time()
-    import os
-    if os.environ.get("BENCH_FORCE_FAIL"):  # retry-path test hook
-        raise RuntimeError("injected failure (BENCH_FORCE_FAIL)")
-    if not preflight_device():
-        print("bench: giving up — TPU device layer never responded "
-              "(tunnel wedged); no measurement possible", file=sys.stderr)
-        return 2
-    if SNAP.exists():
-        d = np.load(SNAP)
-        liq_pos, liq_vel, L = d["pos"], d["vel"], float(d["L"])
-    else:
-        print("bench_data/liq64k.npz absent; equilibrating once...",
-              file=sys.stderr)
-        liq_pos, liq_vel, L = generate_snapshot()
+def build_sampler(liq_pos, liq_vel, L, bias_every: int,
+                  chunks_per_block: int):
+    """The headline sampler (2-CV lamellar WT grid bias on the packed
+    Pallas engine) at the given bias-force MTS cadence."""
     n = liq_pos.shape[0]
     box = Box.cubic(L)
-
     # Production engine.  cap=40: per-rebuild max occupancy of the liquid
     # was measured at 33 (spikes above 32 in ~0.7% of rebuilds), so 32 is
     # not safe; 40 is the next sublane-aligned capacity.
@@ -176,10 +163,6 @@ def main():
         extra_attrs={cv1.attr_name: amps, cv2.attr_name: amps},
     )
     assert not bool(overflow), "cell capacity overflow at production pack"
-
-    import os as _os
-    if _os.environ.get("BENCH_DEBUG"):
-        print(f"[t] packed +{time.time()-t00:.1f}s", file=sys.stderr)
     stride = 500
     gspec = GridSpec.create([-0.06, -0.06], [0.06, 0.06], [64, 64],
                             [0.004, 0.004])
@@ -195,49 +178,94 @@ def main():
             f, dt=0.005, kT=KT, gamma=1.0),
         seed=0,
         # bias-force multiple-time-stepping: the CV gradient + grid interp
-        # refresh every 5 inner steps and the bias force is held in between
-        # (pair/bond forces stay exact every step).  Hills land every 500
-        # steps, so the bias varies slowly on a 5-step horizon; FES accuracy
-        # is regression-tested (test_packed_mts_bias_every_smoke).  Worth
-        # +6.9% here (50.6 -> 54.1M).
-        bias_every=5,
-        chunks_per_block=8,
+        # refresh every bias_every inner steps and the bias force is held
+        # in between (pair/bond forces stay exact every step).  Hills land
+        # every 500 steps, so the bias varies slowly on a 5-step horizon;
+        # FES accuracy is regression-tested
+        # (test_packed_mts_bias_every_smoke).  Worth +6.9% (50.6 -> 54.1M).
+        bias_every=bias_every,
+        chunks_per_block=chunks_per_block,
         walls=WallSpec.at_grid_edges(gspec, k=2000.0),
     )
+    return sampler, stride, n
 
-    import os
-    t_dbg = time.time()
-    dbg = os.environ.get("BENCH_DEBUG")
-    if dbg:
-        print(f"[t] sampler built +{t_dbg-t00:.1f}s", file=sys.stderr)
-    # warm-up: one block — compiles the fused chunk and settles the caches
-    sampler.run(stride * 8)
-    if dbg:
-        print(f"[t] warmup done +{time.time()-t_dbg:.1f}s", file=sys.stderr)
-    # measure
-    n_meas = stride * 8
+
+def measure(sampler, stride, n, warm_strides, meas_strides):
+    """(rate, ok): warm-up block then one timed block + validity guard."""
+    sampler.run(stride * warm_strides)
+    n_meas = stride * meas_strides
     t0 = time.time()
     hist = sampler.run(n_meas)
     dt = time.time() - t0
     rate = n * n_meas / dt
-
     m = hist[-1]
     ok = (np.isfinite(m["potential_energy"]) and np.isfinite(m["cv"]).all()
           and not bool(m["nlist_overflow"]))
     if bool(m["nlist_stale"]):
         print("warning: half-skin violation occurred during the run",
               file=sys.stderr)
+    return rate, ok
+
+
+def main():
+    t00 = time.time()
+    import os
+    if os.environ.get("BENCH_FORCE_FAIL"):  # retry-path test hook
+        raise RuntimeError("injected failure (BENCH_FORCE_FAIL)")
+    if not preflight_device():
+        print("bench: giving up — TPU device layer never responded "
+              "(tunnel wedged); no measurement possible", file=sys.stderr)
+        return 2
+    if SNAP.exists():
+        d = np.load(SNAP)
+        liq_pos, liq_vel, L = d["pos"], d["vel"], float(d["L"])
+    else:
+        print("bench_data/liq64k.npz absent; equilibrating once...",
+              file=sys.stderr)
+        liq_pos, liq_vel, L = generate_snapshot()
+
+    dbg = os.environ.get("BENCH_DEBUG")
+    sampler, stride, n = build_sampler(liq_pos, liq_vel, L,
+                                       bias_every=5, chunks_per_block=8)
+    if dbg:
+        print(f"[t] sampler built +{time.time()-t00:.1f}s", file=sys.stderr)
+    rate, ok = measure(sampler, stride, n, warm_strides=8, meas_strides=8)
+    if dbg:
+        print(f"[t] headline measured +{time.time()-t00:.1f}s",
+              file=sys.stderr)
     if not ok:
         print(json.dumps({"metric": "particle_steps_per_sec_per_chip",
                           "value": 0.0, "unit": "steps/s",
                           "vs_baseline": 0.0, "error": "run invalid"}))
         return 1
-    print(json.dumps({
+
+    out = {
         "metric": "particle_steps_per_sec_per_chip",
         "value": round(rate, 0),
         "unit": "particle-steps/s",
         "vs_baseline": round(rate / BASELINE, 4),
-    }))
+    }
+    # strict-cadence companion (VERDICT r3 weak #2): the SAME config with
+    # bias_every=1 — CV gradient + grid interp re-evaluated EVERY MD step,
+    # no multiple-time-stepping — measured in a short second block so the
+    # headline's MTS contribution is on the record, not inferred.
+    if not os.environ.get("BENCH_SKIP_STRICT"):
+        try:
+            s2, stride2, n2 = build_sampler(liq_pos, liq_vel, L,
+                                            bias_every=1,
+                                            chunks_per_block=2)
+            rate_s, ok_s = measure(s2, stride2, n2,
+                                   warm_strides=2, meas_strides=4)
+            if ok_s:
+                out["value_strict"] = round(rate_s, 0)
+                out["vs_baseline_strict"] = round(rate_s / BASELINE, 4)
+            else:
+                out["strict_error"] = "strict run invalid"
+        except Exception as e:  # strict is supplementary — never kill
+            print(f"bench: strict-cadence pass failed: {e}",
+                  file=sys.stderr)
+            out["strict_error"] = str(e)[:200]
+    print(json.dumps(out))
     return 0
 
 
