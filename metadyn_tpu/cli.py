@@ -93,18 +93,16 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
             extra_attrs[cv.attr_name] = np.asarray(
                 c.get("mode", [1.0] * system.n_types), np.float32)[types]
         elif kind in ("steinhardt", "q6"):
-            if smesh is not None:
-                raise ValueError(
-                    "cv kind 'steinhardt' is not supported with "
-                    "engine.spatial_devices yet (use lamellar/mesh/msd)")
+            # works under engine.spatial_devices too: the packed order
+            # CVs are pure roll-sweep jnp on the sharded engine, so GSPMD
+            # turns their cross-shard rolls into collectives (differential-
+            # tested in tests/test_spatial.py::test_order_cvs_under_spatial_dd)
             cv = PackedSteinhardtQl(spec=spec, r_cut=float(c["r_cut"]),
                                     l=int(c.get("l", 6)), name=c["name"])
         elif kind == "coordination":
-            if smesh is not None:
-                raise ValueError(
-                    "cv kind 'coordination' is not supported with "
-                    "engine.spatial_devices yet (use lamellar/mesh/msd)")
             cv = PackedCoordination(spec=spec, r0=float(c["r0"]),
+                                    r_cut=(float(c["r_cut"])
+                                           if "r_cut" in c else None),
                                     name=c["name"])
         elif kind == "msd":
             cv = PackedMSD(n_real=n, name=c["name"])
@@ -303,6 +301,24 @@ def build_sampler(cfg: dict, resume: bool = False):
         r_cut = float(pair.get("r_cut", 2.0 ** (1 / 6)
                                if pair["kind"] == "wca" else 2.5))
         fene = eng_cfg.get("fene")
+        # per-type-PAIR coefficient tables (HOOMD PotentialPair parity):
+        # engine.pair.eps_table / sigma_table are (n_types, n_types)
+        # nested lists — e.g. eps_table [[1.0, 0.6], [0.6, 1.0]] gives a
+        # demixing diblock (eps_AB < sqrt(eps_A*eps_B), chi > 0)
+        eps_tab = pair.get("eps_table")
+        sig_tab = pair.get("sigma_table")
+        eps_i = np.ones(n, np.float32)
+        sigma_i = np.ones(n, np.float32)
+        eps_scale = sigma_scale = None
+        if eps_tab is not None:
+            from .ops.packed import pair_scale_tables
+            eps_scale, sigma_scale, ed, sd = pair_scale_tables(
+                eps_tab, sig_tab)
+            eps_i = ed[types]
+            if sd is not None:
+                sigma_i = sd[types]
+        else:
+            assert sig_tab is None, "sigma_table requires eps_table"
         spec = PackedSpec.create(
             L, n, r_cut=r_cut,
             skin=float(eng_cfg.get("skin", 0.4)),
@@ -311,6 +327,8 @@ def build_sampler(cfg: dict, resume: bool = False):
             fene_k=None if fene is None else float(fene["k"]),
             fene_r0=None if fene is None else float(fene["r0"]),
             uniform_sigma=eng_cfg.get("uniform_sigma"),
+            pair_kind="soft" if pair["kind"] == "soft" else "lj",
+            eps_scale=eps_scale, sigma_scale=sigma_scale,
             tilt=tilt)
         # spatial domain decomposition: engine.spatial_devices shards the
         # cell grid over the first N devices (the mpirun/-nrank analog —
@@ -372,8 +390,8 @@ def build_sampler(cfg: dict, resume: bool = False):
             assert bonds is not None, "fene engine config needs melt init"
             extra_attrs.update(bond_partner_attrs(bonds, n))
         state, ovf = engine.pack_state(
-            pos, box, jnp.asarray(types), eps_i=jnp.ones(n),
-            sigma_i=jnp.ones(n), vel=vel, extra_attrs=extra_attrs)
+            pos, box, jnp.asarray(types), eps_i=jnp.asarray(eps_i),
+            sigma_i=jnp.asarray(sigma_i), vel=vel, extra_attrs=extra_attrs)
         assert not bool(ovf), "cell capacity overflow at pack"
         packed = True
     else:
@@ -492,8 +510,8 @@ def build_sampler(cfg: dict, resume: bool = False):
         if packed:
             def pack_one(w):
                 st, ovf2 = engine.pack_state(
-                    pos, box, jnp.asarray(types), eps_i=jnp.ones(n),
-                    sigma_i=jnp.ones(n), vel=re_vel(w),
+                    pos, box, jnp.asarray(types), eps_i=jnp.asarray(eps_i),
+                    sigma_i=jnp.asarray(sigma_i), vel=re_vel(w),
                     extra_attrs=extra_attrs)
                 assert not bool(ovf2)
                 return st

@@ -102,6 +102,18 @@ class PackedSpec:
     # via the se attrs).  Soft runs on the XLA roll path only (push-off
     # phases are short; PackedEngine selects it automatically).
     pair_kind: str = struct.field(pytree_node=False, default="lj")
+    # Per-type-PAIR interaction tables (HOOMD ``PotentialPair`` parity:
+    # independent coefficients per (type_i, type_j), SURVEY.md §2b —
+    # e.g. ε_AB < √(ε_A·ε_B) for a demixing diblock).  Stored as STATIC
+    # symmetric (n_types, n_types) SCALING tables relative to the
+    # per-slot Lorentz–Berthelot base:  ε_ij = se_i·se_j·k_ε(ti, tj),
+    # σ_ij = (hs_i + hs_j)·k_σ(ti, tj).  Any positive symmetric target
+    # table is expressible (pick se_i = √ε_{aa}, k = ε_ab/√(ε_aa ε_bb));
+    # see :func:`pair_scale_tables`.  For 2 types the lookup compiles to
+    # 3 FMAs (bilinear in the type values — no gather); one-hot masks
+    # beyond.  Vacant slots stay culled by se = 0.
+    eps_scale: tuple = struct.field(pytree_node=False, default=None)
+    sigma_scale: tuple = struct.field(pytree_node=False, default=None)
     # FENE bead-spring bonds (None = no bonds).  Bonded pairs are matched
     # in-kernel via per-slot partner pids ('bp0'..'bp{bond_slots-1}'
     # attrs) and get the FENE+WCA interaction INSTEAD of the pair
@@ -129,6 +141,10 @@ class PackedSpec:
     def has_bonds(self) -> bool:
         return self.fene_k is not None
 
+    @property
+    def has_pair_table(self) -> bool:
+        return self.eps_scale is not None or self.sigma_scale is not None
+
     @classmethod
     def create(cls, box_L, n_particles: int, r_cut: float, skin: float = 0.5,
                cap: Optional[int] = None, shift_energy: bool = True,
@@ -138,6 +154,8 @@ class PackedSpec:
                uniform_eps: Optional[float] = None,
                pair_kind: str = "lj",
                bond_slots: int = 2,
+               eps_scale=None,
+               sigma_scale=None,
                tilt=None) -> "PackedSpec":
         L = np.asarray(box_L, np.float64).reshape(-1)
         if L.size == 1:
@@ -175,11 +193,25 @@ class PackedSpec:
             # from measured occupancy (bench.py does).
             est = mean_occ + 5.0 * np.sqrt(mean_occ) + 4.0
             cap = int(np.ceil(est / 4.0) * 4)
+        if eps_scale is not None or sigma_scale is not None:
+            assert uniform_eps is None and uniform_sigma is None, (
+                "per-type-pair tables need the se/hs per-slot layout "
+                "(incompatible with uniform_eps/uniform_sigma)")
+
+        def _tup(t):
+            if t is None:
+                return None
+            a = np.asarray(t, np.float64)
+            assert a.ndim == 2 and a.shape[0] == a.shape[1]
+            assert np.allclose(a, a.T), "pair tables must be symmetric"
+            return tuple(tuple(float(x) for x in row) for row in a)
+
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
                    fene_k=fene_k, fene_r0=fene_r0,
                    uniform_sigma=uniform_sigma, uniform_eps=uniform_eps,
-                   pair_kind=pair_kind, bond_slots=bond_slots)
+                   pair_kind=pair_kind, bond_slots=bond_slots,
+                   eps_scale=_tup(eps_scale), sigma_scale=_tup(sigma_scale))
 
 
 @struct.dataclass
@@ -623,6 +655,62 @@ def _roll_offsets(spec: PackedSpec):
     return out
 
 
+def pair_scale_tables(eps_table, sigma_table=None):
+    """HOOMD-style TARGET tables → (eps_scale, sigma_scale, eps_diag,
+    sigma_diag): the static scaling tables for :class:`PackedSpec` plus
+    the per-TYPE diagonals to build ``eps_i``/``sigma_i`` from
+    (``eps_i = eps_diag[types]``).  ε targets must be positive (use the
+    soft pair for athermal species)."""
+    e = np.asarray(eps_table, np.float64)
+    assert np.all(e > 0), "eps table entries must be positive"
+    se = np.sqrt(np.diag(e))
+    eps_scale = e / np.outer(se, se)
+    if sigma_table is None:
+        return (eps_scale, None, np.diag(e).astype(np.float32), None)
+    s = np.asarray(sigma_table, np.float64)
+    hs = 0.5 * np.diag(s)
+    sigma_scale = s / np.add.outer(hs, hs)
+    return (eps_scale, sigma_scale, np.diag(e).astype(np.float32),
+            np.diag(s).astype(np.float32))
+
+
+def _scale_fn(table):
+    """Static symmetric (nt, nt) scale table → traced ``f(ti, tj) -> k``
+    with ti/tj the f32 type values.  nt ≤ 2 compiles to ≤3 FMAs
+    (bilinear interpolation is exact on {0, 1}²); one-hot masks beyond.
+    Out-of-range types (the vacant sentinel nt) yield a finite value
+    (bilinear) or 0 (one-hot) — vacancy is culled by se = 0 regardless."""
+    t = np.asarray(table, np.float64)
+    nt = t.shape[0]
+    if np.allclose(t, t[0, 0]):
+        c = float(t[0, 0])
+        return lambda ti, tj: c
+    if nt == 2:
+        c0 = float(t[0, 0])
+        c1 = float(t[0, 1] - t[0, 0])
+        c2 = float(t[1, 1] - 2.0 * t[0, 1] + t[0, 0])
+        return lambda ti, tj: c0 + c1 * (ti + tj) + c2 * (ti * tj)
+
+    def one_hot(ti, tj):
+        k = jnp.float32(0.0)
+        for a in range(nt):
+            row = jnp.float32(0.0)
+            for b in range(nt):
+                row = row + float(t[a, b]) * (tj == b)
+            k = k + (ti == a) * row
+        return k
+
+    return one_hot
+
+
+def pair_scales_for(spec: "PackedSpec"):
+    """(k_eps(ti,tj), k_sig(ti,tj)) traced scale fns, or (None, None)."""
+    ke = _scale_fn(spec.eps_scale) if spec.eps_scale is not None else None
+    ks = (_scale_fn(spec.sigma_scale)
+          if spec.sigma_scale is not None else None)
+    return ke, ks
+
+
 def _fene_wca_pair(r2s, eps, sig, spec):
     """FENE + built-in WCA (Kremer–Grest) pair energy/coef; replaces the
     plain pair term for bonded pairs."""
@@ -677,14 +765,18 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
     xi = [x4[d].reshape(cap, C)[None, :, :] for d in range(3)]       # (1, capi, C)
     se_i = se4.reshape(cap, C)[None, :, :]
     hs_i = hs4.reshape(cap, C)[None, :, :]
+    k_eps, k_sig = pair_scales_for(spec)
+    if spec.has_pair_table:
+        ty4 = view(state.typ.astype(jnp.float32).reshape(cap, C))
+        ty_i = ty4.reshape(cap, C)[None, :, :]
     if spec.has_bonds:
         pid4 = view(state.pid.astype(jnp.float32).reshape(cap, C))
         bp_i = [state.attrs[f"bp{k}"].reshape(cap, C)[None, :, :]
                 for k in range(spec.bond_slots)]
 
-    def pair_block(xj, se_j, hs_j, pid_j):
+    def pair_block(xj, se_j, hs_j, pid_j, ty_j=None):
         """(B, 1-broadcast) partner rows vs all i: returns (coef, dx, r2).
-        xj/se_j/hs_j/pid_j are (B, 1, C)."""
+        xj/se_j/hs_j/pid_j/ty_j are (B, 1, C)."""
         dx = []
         r2 = jnp.zeros((xj[0].shape[0], cap, C), jnp.float32)
         for d in range(3):
@@ -693,6 +785,10 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
             r2 = r2 + c * c
         eps = se_i * se_j
         sig = hs_i + hs_j
+        if k_eps is not None:
+            eps = eps * k_eps(ty_i, ty_j)
+        if k_sig is not None:
+            sig = sig * k_sig(ty_i, ty_j)
         inside = (r2 < rc2) & (r2 > 1e-12)
         r2s = jnp.where(inside, r2, 1.0)
         if spec.pair_kind == "soft":
@@ -746,11 +842,14 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
         rolled_hs = roll(hs4).reshape(cap, C)
         rolled_pid = (roll(pid4).reshape(cap, C) + 1.0
                       if spec.has_bonds else None)
+        rolled_ty = (roll(ty4).reshape(cap, C)
+                     if spec.has_pair_table else None)
         if jb >= cap:
             fc, e, w = pair_block(
                 [rx[:, None, :] for rx in rolled_x],
                 rolled_se[:, None, :], rolled_hs[:, None, :],
-                rolled_pid[:, None, :] if rolled_pid is not None else None)
+                rolled_pid[:, None, :] if rolled_pid is not None else None,
+                rolled_ty[:, None, :] if rolled_ty is not None else None)
             for d in range(3):
                 fx[d] = fx[d] + fc[d]
             e_tot = e_tot + e
@@ -766,6 +865,8 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
             rolled_hs = padrow(rolled_hs)
             if rolled_pid is not None:
                 rolled_pid = padrow(rolled_pid, float(spec.n_real + 1))
+            if rolled_ty is not None:
+                rolled_ty = padrow(rolled_ty)
 
         def chunk(jc, carry):
             f3, e_a, w_a = carry
@@ -773,7 +874,8 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
                 a, jc * jb, jb, 0)[:, None, :]
             fc, e, w = pair_block(
                 [sl(rx) for rx in rolled_x], sl(rolled_se), sl(rolled_hs),
-                sl(rolled_pid) if rolled_pid is not None else None)
+                sl(rolled_pid) if rolled_pid is not None else None,
+                sl(rolled_ty) if rolled_ty is not None else None)
             return ([f3[d] + fc[d] for d in range(3)], e_a + e, w_a + w)
 
         (fc3, e, w) = jax.lax.fori_loop(

@@ -184,6 +184,10 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None):
 
 def packed_lj_force_pallas(state: PackedState, spec: PackedSpec) -> PackedState:
     """Drop-in replacement for packed_lj_force (TPU only)."""
+    assert not spec.has_pair_table, (
+        "per-type-pair tables run on packed_lj_force_pallas2 (the "
+        "production kernel) or the XLA roll path; the v1 full-sweep "
+        "kernel stays the minimal cross-check")
     cap, C = spec.cap, spec.n_cells
     # pad cap to a multiple of 8 (sublane slabs) and tile C so the unrolled
     # slab temporaries fit the 16 MB scoped-VMEM budget

@@ -118,6 +118,8 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
         extra.append(state.attrs["se"])
     if spec.uniform_sigma is None:
         extra.append(state.attrs["hs"])
+    if spec.has_pair_table:
+        extra.append(state.typ.astype(jnp.float32))
     if spec.has_bonds:
         extra.append(state.pid.astype(jnp.float32))
     for arr in extra:
@@ -128,13 +130,16 @@ def _half_stacks(state: PackedState, spec: PackedSpec):
 
 def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
             with_energy: bool = True, usig: float = None,
-            ueps: float = None):
+            ueps: float = None, table_fns=(None, None)):
     has_bonds = spec is not None and spec.has_bonds
+    has_table = table_fns != (None, None)
+    k_eps, k_sig = table_fns
     refs = list(refs)
     xi, yi, zi = refs[:3]
     del refs[:3]
     se = None if ueps is not None else refs.pop(0)
     hs = None if usig is not None else refs.pop(0)
+    ty = refs.pop(0) if has_table else None
     if has_bonds:
         nbp = spec.bond_slots
         bps = refs[:nbp]
@@ -145,6 +150,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     del refs[:3]
     sej = None if ueps is not None else refs.pop(0)
     hsj = None if usig is not None else refs.pop(0)
+    tyj = refs.pop(0) if has_table else None
     pidj = refs.pop(0) if has_bonds else None
     fx, fy, fz, fjx, fjy, fjz, ew = refs
     ct = pl.program_id(0)
@@ -165,6 +171,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     z_i = zi[...]
     se_i = se[...] if se is not None else None
     hs_i = hs[...] if hs is not None else None
+    ty_i = ty[...] if ty is not None else None
     if has_bonds:
         bp_i = [b[...] for b in bps]
     z = jnp.zeros_like(x_i)
@@ -174,7 +181,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
     we = jnp.where(is_self, 0.5, 1.0)
     wj = jnp.where(is_self, 0.0, 1.0)
 
-    def pair_row(xr, yr, zr, ser, hsr, pidr):
+    def pair_row(xr, yr, zr, ser, hsr, pidr, tyr=None):
         dx = x_i - xr
         dy = y_i - yr
         dz = z_i - zr
@@ -197,12 +204,16 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
             # uniform sig the s12 power overflows to inf and 0·inf = NaN.
             # Masking BEFORE the power chain keeps excluded pairs zero.
             inside = (r2 < rc2) & (r2 > 1e-12) & (eps > 0.0)
+        if k_eps is not None:
+            eps = eps * k_eps(ty_i, tyr)
         inv = jnp.where(inside, 1.0, 0.0) / jnp.where(inside, r2, 1.0)
         if usig is not None:
             sig = usig
             s2 = (usig * usig) * inv
         else:
             sig = hs_i + hsr
+            if k_sig is not None:
+                sig = sig * k_sig(ty_i, tyr)
             s2 = sig * sig * inv
         s6 = s2 * s2 * s2
         s12 = s6 * s6
@@ -242,6 +253,7 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
         zs = zj[0, pl.ds(j0, CH), :]
         ss = sej[0, pl.ds(j0, CH), :] if sej is not None else None
         hss = hsj[0, pl.ds(j0, CH), :] if hsj is not None else None
+        tys = tyj[0, pl.ds(j0, CH), :] if tyj is not None else None
         if pidj is not None:
             ps = pidj[0, pl.ds(j0, CH), :]
         for k in range(CH):
@@ -249,7 +261,8 @@ def _kernel(*refs, cap: int, rc2: float, shift_energy: bool, spec=None,
                 xs[k, :][None, :], ys[k, :][None, :], zs[k, :][None, :],
                 ss[k, :][None, :] if ss is not None else None,
                 hss[k, :][None, :] if hss is not None else None,
-                ps[k, :][None, :] if pidj is not None else None)
+                ps[k, :][None, :] if pidj is not None else None,
+                tys[k, :][None, :] if tys is not None else None)
             tx = coef * dx
             ty = coef * dy
             tz = coef * dz
@@ -339,6 +352,9 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
         const_in.append(pad(state.attrs["se"].reshape(cap, C), 0, 1))
     if spec.uniform_sigma is None:
         const_in.append(pad(state.attrs["hs"].reshape(cap, C), 0, 1))
+    if spec.has_pair_table:
+        const_in.append(
+            pad(state.typ.astype(jnp.float32).reshape(cap, C), 0, 1))
     if spec.has_bonds:
         const_in += [pad(state.attrs[f"bp{k}"].reshape(cap, C), 0, 1)
                      for k in range(spec.bond_slots)]
@@ -349,11 +365,13 @@ def packed_lj_force_pallas2(state: PackedState, spec: PackedSpec,
                              memory_space=pltpu.VMEM)
     fj_spec = pl.BlockSpec((1, cap8, CT), lambda ct, o: (o, 0, ct),
                            memory_space=pltpu.VMEM)
+    from .packed import pair_scales_for
     kern = functools.partial(
         _kernel, cap=cap8, rc2=float(spec.r_cut) ** 2,
         shift_energy=spec.shift_energy, spec=spec if spec.has_bonds else None,
         with_energy=with_energy, usig=spec.uniform_sigma,
-        ueps=spec.uniform_eps)
+        ueps=spec.uniform_eps,
+        table_fns=pair_scales_for(spec))
     fx, fy, fz, fjx, fjy, fjz, ew = pl.pallas_call(
         kern,
         grid=(n_ct, 14),

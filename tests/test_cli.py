@@ -280,6 +280,8 @@ def test_cli_config5_flux(tmp_path):
         "examples/config5_flux.yaml", tmp_path,
         system={"init": {"n_chains": 30, "chain_len": 8, "box_L": 8.2,
                          "prerelax_steps": 400}},
+        # shrunk box: LJ r_cut 2.5 + skin would need >=3 cells of 2.9
+        engine={"pair": {"r_cut": 2.0}},
         run={"n_steps": 400, "report_every": 400},
         metadynamics={"stride": 50, "update_period": 2})
     assert main(["run", p]) == 0
@@ -295,6 +297,7 @@ def test_cli_flux_resume(tmp_path):
         "examples/config5_flux.yaml", tmp_path,
         system={"init": {"n_chains": 30, "chain_len": 8, "box_L": 8.2,
                          "prerelax_steps": 400}},
+        engine={"pair": {"r_cut": 2.0}},
         run={"n_steps": 200, "report_every": 200},
         metadynamics={"stride": 50, "update_period": 2},
         output={"checkpoint": "ck.npz", "checkpoint_every": 200})
@@ -406,13 +409,24 @@ def test_cli_spatial_dd(tmp_path):
     assert int(sampler.bias.n_hills) == 2
     assert len(open(tmp_path / "HILLS").readlines()) >= 3  # header + 2 hills
 
-    # unsupported combos fail loudly, before any compile
-    bad = dict(cfg)
-    bad["cvs"] = [{"name": "q6", "kind": "steinhardt", "r_cut": 1.5,
-                   "grid": {"min": 0.0, "max": 0.6, "num_points": 11,
-                            "sigma": 0.02}}]
-    with pytest.raises(ValueError, match="steinhardt"):
-        build_sampler(bad)
+    # order CVs under spatial DD straight from YAML (round-3 VERDICT
+    # item 3: the library path was tested but cli raised) — build + one
+    # stride; the full differential lives in
+    # test_spatial.py::test_order_cvs_under_spatial_dd
+    c3 = _yaml.safe_load(open(p))
+    c3["cvs"] = [{"name": "q6", "kind": "steinhardt", "r_cut": 2.6,
+                  "grid": {"min": 0.0, "max": 0.6, "num_points": 11,
+                           "sigma": 0.02}},
+                 {"name": "co", "kind": "coordination", "r0": 1.6,
+                  "grid": {"min": 0.0, "max": 20.0, "num_points": 11,
+                           "sigma": 0.5}}]
+    c3["output"] = {}
+    s3, _ = build_sampler(c3)
+    assert isinstance(s3.engine, SpatialPackedEngine)
+    h3 = s3.run(10)
+    assert np.isfinite(np.asarray(h3[-1]["cv"])).all()
+    assert not bool(h3[-1]["nlist_overflow"])
+
     # walkers x spatial is now a supported product mesh, but the mesh CV
     # isn't available on it yet — the combo must still fail loudly
     bad2 = _yaml.safe_load(open(p))
