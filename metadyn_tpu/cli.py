@@ -300,7 +300,9 @@ def build_sampler(cfg: dict, resume: bool = False):
     if eng_cfg["kind"] == "packed":
         r_cut = float(pair.get("r_cut", 2.0 ** (1 / 6)
                                if pair["kind"] == "wca" else 2.5))
-        fene = eng_cfg.get("fene")
+        # bonds: engine.bonds {kind: fene|harmonic, k, r0}; engine.fene
+        # remains the legacy spelling (kind defaults to fene)
+        fene = eng_cfg.get("bonds", eng_cfg.get("fene"))
         # per-type-PAIR coefficient tables (HOOMD PotentialPair parity):
         # engine.pair.eps_table / sigma_table are (n_types, n_types)
         # nested lists — e.g. eps_table [[1.0, 0.6], [0.6, 1.0]] gives a
@@ -326,6 +328,7 @@ def build_sampler(cfg: dict, resume: bool = False):
             shift_energy=bool(pair.get("shift", pair["kind"] == "wca")),
             fene_k=None if fene is None else float(fene["k"]),
             fene_r0=None if fene is None else float(fene["r0"]),
+            bond_kind=(fene or {}).get("kind", "fene"),
             uniform_sigma=eng_cfg.get("uniform_sigma"),
             pair_kind="soft" if pair["kind"] == "soft" else "lj",
             eps_scale=eps_scale, sigma_scale=sigma_scale,

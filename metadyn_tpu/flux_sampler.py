@@ -54,13 +54,36 @@ class FluxTemperedSampler:
         gain_halflife: int = 20,   # updates until the gain halves
         update_rule: str = FLUX,   # FLUX (reference method) or VISITS
         bias_every: int = 1,
+        mesh=None,
+        walker_axis: str = "walkers",
+        min_round_trips: int = 0,
+        max_defer_periods: int = 4,
     ):
         """``bias_every`` > 1 is the same bias-force multiple-time-stepping
         as :class:`MetadSampler`: the CV sweep + ∂V/∂s run once per
         ``bias_every`` MD steps with the bias force held in between (exact
         pair/bond forces every step).  The visit/crossing histograms then
         subsample at the same cadence — the update rule only consumes
-        h/⟨h⟩ and f/⟨f⟩ ratios, which subsampling preserves."""
+        h/⟨h⟩ and f/⟨f⟩ ratios, which subsampling preserves.
+
+        ``mesh`` (a ``jax.sharding.Mesh`` with a ``walker_axis`` axis)
+        enables MULTIPLE-WALKER flux tempering — the FT analog of the
+        reference's MPI-partition walkers (SURVEY.md §2b MPI-partitions
+        row; WT walkers are ``parallel.walkers``): ``state`` must be a
+        stacked pytree with a leading walker dimension; each replica runs
+        independently under the SHARED bias within an update period, and
+        at every period boundary the visit/crossing histograms are POOLED
+        over all walkers before the bias rebuild (the FT analog of the WT
+        hill-field psum).  ``n_steps`` in :meth:`run` counts PER-WALKER
+        steps; W walkers gather statistics ~W× faster per wall-clock step.
+
+        ``min_round_trips`` > 0 gates each histogram→bias update on an
+        EQUILIBRATION CRITERION (the reference rebuilds "after
+        equilibration criterion", SURVEY.md §3.4): the update is deferred
+        — histograms keep accumulating — until the pooled round-trip
+        diagnostic reaches the threshold, with ``max_defer_periods`` as
+        the cap (a hard-trapped walker still updates eventually, so the
+        bias can grow and free it)."""
         assert grid_spec.ndim == 1 and len(cvs) == 1, \
             "flux-tempered metadynamics supports exactly one CV"
         if not hasattr(engine, "force_into"):
@@ -78,6 +101,13 @@ class FluxTemperedSampler:
         eval_bias, apply_force = make_bias_force_parts(
             engine, cvs, system, walls)
 
+        self.mesh = mesh
+        self._walker_axis = walker_axis
+        self.n_walkers = 1 if mesh is None else mesh.shape[walker_axis]
+        self.min_round_trips = min_round_trips
+        self.max_defer_periods = max_defer_periods
+        self._deferred = 0
+
         # prime inside one jit (eager op-by-op dispatch dominates
         # construction on CPU meshes / remote-TPU tunnels); engines with
         # host-side init asserts fall back to the eager path
@@ -85,16 +115,40 @@ class FluxTemperedSampler:
             st2, aux2 = engine.init(st)
             return self.biased_force(st2, aux2, b), aux2
 
-        try:
-            state, aux = jax.jit(_prime)(state, self.bias)
-        except (jax.errors.ConcretizationTypeError,
-                jax.errors.TracerArrayConversionError):
-            state, aux = engine.init(state)
-            state = self.biased_force(state, aux, self.bias)
-        self.carry = FluxCarry(state=state, aux=aux,
-                               flux=FluxState.zeros(grid_spec),
-                               key=jax.random.PRNGKey(seed),
-                               step=jnp.int32(0))
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from .parallel.walkers import _shard_map
+
+            def prime_one(st, b):
+                st = jax.tree.map(lambda x: x[0], st)
+                st2, aux2 = _prime(st, b)
+                return jax.tree.map(lambda x: x[None], (st2, aux2))
+
+            state, aux = jax.jit(_shard_map(
+                prime_one, mesh, in_specs=(P(walker_axis), P()),
+                out_specs=P(walker_axis)))(state, self.bias)
+            keys = jax.vmap(
+                lambda w: jax.random.fold_in(jax.random.PRNGKey(seed), w)
+            )(jnp.arange(self.n_walkers))
+            self.carry = FluxCarry(
+                state=state, aux=aux,
+                flux=jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x, (self.n_walkers,) + x.shape).copy(),
+                    FluxState.zeros(grid_spec)),
+                key=keys,
+                step=jnp.zeros(self.n_walkers, jnp.int32))
+        else:
+            try:
+                state, aux = jax.jit(_prime)(state, self.bias)
+            except (jax.errors.ConcretizationTypeError,
+                    jax.errors.TracerArrayConversionError):
+                state, aux = engine.init(state)
+                state = self.biased_force(state, aux, self.bias)
+            self.carry = FluxCarry(state=state, aux=aux,
+                                   flux=FluxState.zeros(grid_spec),
+                                   key=jax.random.PRNGKey(seed),
+                                   step=jnp.int32(0))
 
         r = min(engine.rebuild_every, stride)
         assert stride % r == 0
@@ -152,7 +206,24 @@ class FluxTemperedSampler:
             return jax.lax.scan(lambda c, _: chunk(c, bias, None), carry,
                                 None, length=update_period)
 
-        self._run_period = jax.jit(period)
+        if mesh is not None:
+            # walker mode: the whole period runs per-walker under
+            # shard_map; no cross-walker traffic inside (the bias is
+            # period-constant) — pooling happens at the update
+            from jax.sharding import PartitionSpec as P
+            from .parallel.walkers import _shard_map
+
+            def period_one(carry, bias):
+                c = jax.tree.map(lambda x: x[0], carry)
+                c, m = period(c, bias)
+                return (jax.tree.map(lambda x: x[None], c),
+                        jax.tree.map(lambda x: x[None], m))
+
+            self._run_period = jax.jit(_shard_map(
+                period_one, mesh, in_specs=(P(walker_axis), P()),
+                out_specs=(P(walker_axis), P(walker_axis))))
+        else:
+            self._run_period = jax.jit(period)
         self.history: list[dict] = []
         self.n_updates = 0
         self.gain0 = gain0
@@ -166,9 +237,24 @@ class FluxTemperedSampler:
     def state(self):
         return self.carry.state
 
+    def _pooled_flux(self) -> FluxState:
+        """The update statistics: walker-summed histograms in walker mode
+        (the FT analog of the WT hill-field psum), the plain carry flux
+        otherwise."""
+        fx = self.carry.flux
+        if self.mesh is None:
+            return fx
+        return FluxState(
+            hist=jnp.asarray(np.asarray(fx.hist).sum(axis=0)),
+            flux_up=jnp.asarray(np.asarray(fx.flux_up).sum(axis=0)),
+            flux_down=jnp.asarray(np.asarray(fx.flux_down).sum(axis=0)),
+            prev_bin=jnp.int32(-1))
+
     def run(self, n_steps: int) -> list[dict]:
-        """Run n_steps (multiple of stride·update_period); applies a bias
-        update + histogram reset at every period boundary."""
+        """Run n_steps per walker (multiple of stride·update_period);
+        applies a bias update + histogram reset at every period boundary
+        (deferred while the ``min_round_trips`` equilibration criterion
+        is unmet, up to ``max_defer_periods``)."""
         period_steps = self.stride * self.update_period
         assert n_steps % period_steps == 0, (
             f"n_steps must be a multiple of stride*update_period={period_steps}")
@@ -176,18 +262,41 @@ class FluxTemperedSampler:
         for _ in range(n_steps // period_steps):
             self.carry, stacked = self._run_period(self.carry, self.bias)
             m = jax.device_get(stacked)
-            m["round_trips"] = float(round_trips(self.carry.flux))
-            out.append(m)
+            pooled = self._pooled_flux()
+            rt = float(round_trips(pooled))
+            m["round_trips"] = rt
             if self._meas_h is not None:
-                # measurement phase: the visit histogram of THIS period
-                # (pre-reset) under the bias that was active during it
-                self._meas_h += np.asarray(self.carry.flux.hist)
+                # measurement phase: V̄ accumulates once per period (the
+                # bias is constant across deferred periods, so per-period
+                # V entries weight it by residence time)
                 self._meas_V += np.asarray(self.bias.grid.V)
                 self._meas_n += 1
+            # equilibration criterion (reference: bias rebuilt "after
+            # equilibration criterion", SURVEY.md §3.4): defer the update
+            # until enough round trips accumulated, capped so a trapped
+            # walker still gets a bias boost eventually
+            defer = (self.min_round_trips > 0
+                     and rt < self.min_round_trips
+                     and self._deferred < self.max_defer_periods)
+            m["update_applied"] = not defer
+            out.append(m)
+            if defer:
+                self._deferred += 1
+                continue
+            self._deferred = 0
+            if self._meas_h is not None:
+                # the visit histogram since the LAST reset, counted exactly
+                # once — right before update_bias resets it (deferred
+                # periods keep accumulating into the same histogram)
+                self._meas_h += np.asarray(pooled.hist)
             gain = self.gain0 / (1.0 + self.n_updates / self.gain_halflife)
-            self.bias, new_flux = update_bias(self.bias, self.carry.flux,
+            self.bias, new_flux = update_bias(self.bias, pooled,
                                               self.kT, gain=gain,
                                               rule=self.update_rule)
+            if self.mesh is not None:
+                new_flux = jax.tree.map(
+                    lambda x: jnp.broadcast_to(
+                        x, (self.n_walkers,) + x.shape).copy(), new_flux)
             self.carry = self.carry.replace(flux=new_flux)
             self.n_updates += 1
         self.history.extend(out)
@@ -200,7 +309,7 @@ class FluxTemperedSampler:
         period), so a carry-only checkpoint would silently resume with a
         zero bias and a reset gain schedule (round-2 advisor, medium)."""
         from .io.checkpoint import save_checkpoint
-        extra = {"n_updates": self.n_updates}
+        extra = {"n_updates": self.n_updates, "deferred": self._deferred}
         if self._meas_h is not None:
             # reweighted-FES accumulators (begin_measurement) — losing them
             # on resume would silently change the free_energy estimate
@@ -213,6 +322,7 @@ class FluxTemperedSampler:
         (self.carry, self.bias), extras = load_checkpoint(
             path, (self.carry, self.bias))
         self.n_updates = int(extras["n_updates"])
+        self._deferred = int(extras.get("deferred", 0))
         if "meas_h" in extras:
             self._meas_h = np.asarray(extras["meas_h"])
             self._meas_V = np.asarray(extras["meas_V"])

@@ -114,14 +114,19 @@ class PackedSpec:
     # beyond.  Vacant slots stay culled by se = 0.
     eps_scale: tuple = struct.field(pytree_node=False, default=None)
     sigma_scale: tuple = struct.field(pytree_node=False, default=None)
-    # FENE bead-spring bonds (None = no bonds).  Bonded pairs are matched
-    # in-kernel via per-slot partner pids ('bp0'..'bp{bond_slots-1}'
-    # attrs) and get the FENE+WCA interaction INSTEAD of the pair
-    # potential — HOOMD's default bond exclusion, Kremer–Grest convention.
+    # Bonds (None = no bonds).  Bonded pairs are matched in-kernel via
+    # per-slot partner pids ('bp0'..'bp{bond_slots-1}' attrs) and get the
+    # bond interaction INSTEAD of the pair potential — HOOMD's default
+    # bond exclusion.  ``bond_kind`` selects the potential (HOOMD
+    # PotentialBondFENE / PotentialBondHarmonic parity, SURVEY.md §2b):
+    #   "fene":     FENE + built-in WCA (Kremer–Grest); k = fene_k,
+    #               r0 = max extension
+    #   "harmonic": u = ½ k (r − r0)²; k = fene_k, r0 = rest length
     # bond_slots = max bonds per particle (2 = linear chains; raise it for
     # branched/star topologies).
     fene_k: float = struct.field(pytree_node=False, default=None)
     fene_r0: float = struct.field(pytree_node=False, default=None)
+    bond_kind: str = struct.field(pytree_node=False, default="fene")
     bond_slots: int = struct.field(pytree_node=False, default=2)
 
     @property
@@ -153,6 +158,7 @@ class PackedSpec:
                uniform_sigma: Optional[float] = None,
                uniform_eps: Optional[float] = None,
                pair_kind: str = "lj",
+               bond_kind: str = "fene",
                bond_slots: int = 2,
                eps_scale=None,
                sigma_scale=None,
@@ -206,9 +212,10 @@ class PackedSpec:
             assert np.allclose(a, a.T), "pair tables must be symmetric"
             return tuple(tuple(float(x) for x in row) for row in a)
 
+        assert bond_kind in ("fene", "harmonic"), bond_kind
         return cls(cells_per_dim=cpd, cap=cap, n_real=n_particles,
                    r_cut=r_cut, skin=skin, shift_energy=shift_energy,
-                   fene_k=fene_k, fene_r0=fene_r0,
+                   fene_k=fene_k, fene_r0=fene_r0, bond_kind=bond_kind,
                    uniform_sigma=uniform_sigma, uniform_eps=uniform_eps,
                    pair_kind=pair_kind, bond_slots=bond_slots,
                    eps_scale=_tup(eps_scale), sigma_scale=_tup(sigma_scale))
@@ -712,10 +719,17 @@ def pair_scales_for(spec: "PackedSpec"):
 
 
 def _fene_wca_pair(r2s, eps, sig, spec):
-    """FENE + built-in WCA (Kremer–Grest) pair energy/coef; replaces the
-    plain pair term for bonded pairs."""
+    """Bonded-pair energy/coef; replaces the plain pair term for bonded
+    pairs (HOOMD bond-exclusion convention).  Dispatches on
+    ``spec.bond_kind`` at trace time: FENE + built-in WCA (Kremer–Grest)
+    or the harmonic spring u = ½k(r−r0)² (matches ops/bonds.py)."""
     r0 = spec.fene_r0
     k = spec.fene_k
+    if spec.bond_kind == "harmonic":
+        r = jnp.sqrt(r2s)
+        e = 0.5 * k * (r - r0) ** 2
+        coef = -k * (r - r0) / r
+        return e, coef
     x = jnp.minimum(r2s / (r0 * r0), 0.99)
     e_f = -0.5 * k * r0 * r0 * jnp.log1p(-x)
     coef_f = -k / (1.0 - x)
