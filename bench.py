@@ -125,9 +125,16 @@ def preflight_device(tries: int = 3, per_try_s: int = 110) -> bool:
             print(f"bench preflight: device probe rc={r.returncode}: "
                   f"{r.stderr.strip()[-300:]}", file=sys.stderr)
         except subprocess.TimeoutExpired:
+            # a killed dial can queue a stale pool claim that drains in
+            # ~10-20 min; re-dialing 5 s later would likely time out too
+            # AND wedge the pool further (round-3 advisor) — a hang is
+            # terminal for this run.  Only fast nonzero-rc failures (no
+            # claim queued) are worth a retry.
             print(f"bench preflight: device init hung >{per_try_s}s "
-                  f"(attempt {t + 1}/{tries}) — TPU tunnel unresponsive",
-                  file=sys.stderr)
+                  f"(attempt {t + 1}/{tries}) — TPU tunnel unresponsive; "
+                  f"not re-dialing (a killed dial queues a stale pool "
+                  f"claim)", file=sys.stderr)
+            return False
         time.sleep(5)
     return False
 

@@ -647,6 +647,14 @@ def cmd_run(args) -> int:
                 f"cell-list overflow by step {done}: forces are invalid. "
                 f"Raise engine.cap (or check for a blowup — e.g. a CV "
                 f"grid/wall misconfiguration; see the log file).")
+        if bool(np.any(np.asarray(m.get("cell_width_violation", False)))):
+            save_ckpt()
+            raise RuntimeError(
+                f"cell width fell below r_cut+skin by step {done} (NPT "
+                f"compression outran the static cell grid): the 27-cell "
+                f"stencil no longer covers r_list and pairs are being "
+                f"missed. Re-pack with a cell grid sized for the target "
+                f"density (smaller initial box or larger skin).")
         if not warned_oog and bool(
                 np.any(np.asarray(m.get("cv_out_of_grid", False)))):
             warned_oog = True

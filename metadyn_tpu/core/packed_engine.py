@@ -176,9 +176,29 @@ class PackedEngine:
         return self._force_e(state, self.spec)
 
     def metrics(self, state: PackedState, aux: PackedAux) -> dict:
+        # cell-width guard (VERDICT r3 item 8): the cell COUNT per axis is
+        # compile-time static while the width L_d/c_d tracks the live box,
+        # so sustained NPT compression can push a cell below r_cut+skin —
+        # then the 27-cell stencil no longer covers r_list and pairs are
+        # silently missed.  Surfaced per stride like nlist_overflow; the
+        # CLI run-health guard refuses to exit 0 on it.
+        cpd = jnp.asarray(np.asarray(self.spec.cells_per_dim, np.float32))
+        if state.box.tilt is None:
+            width = state.box.L / cpd
+        else:
+            from .box import h_matrix
+            h = h_matrix(state.box)
+            a, b, c = h[:, 0], h[:, 1], h[:, 2]
+            vol = jnp.abs(jnp.dot(a, jnp.cross(b, c)))
+            w_perp = jnp.stack([
+                vol / jnp.linalg.norm(jnp.cross(b, c)),
+                vol / jnp.linalg.norm(jnp.cross(c, a)),
+                vol / jnp.linalg.norm(jnp.cross(a, b))])
+            width = w_perp / cpd
         return {
             "temperature": packed_temperature(state, self.spec, self.mass),
             "potential_energy": state.potential_energy,
             "nlist_overflow": aux.overflow,
             "nlist_stale": aux.stale,
+            "cell_width_violation": jnp.min(width) < self.spec.r_list,
         }

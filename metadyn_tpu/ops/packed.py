@@ -909,6 +909,25 @@ def packed_lj_force(state: PackedState, spec: PackedSpec,
     )
 
 
+def assert_no_vacant_drift(state: PackedState, spec: PackedSpec) -> None:
+    """Test/debug helper for the LOAD-BEARING sentinel invariant: in
+    uniform-eps (lean) mode every vacant slot must sit at the EXACT
+    ``VACANT_X`` coordinate — the Pallas pair kernels cull vacancy purely
+    by r² tests that rely on it (see packed_pallas2._kernel).  Every
+    pack/repack variant and every packed integrator must re-pin vacant
+    slots (``integrate.packed._pin_vacant``); a future integrator author
+    WILL forget it (VERDICT r3 weak #7) — call this from their tests.
+    No-op outside sentinel mode.  Host-side (not for jit)."""
+    if spec.uniform_eps is None:
+        return
+    vac = np.asarray(jax.device_get(state.pid)) >= spec.n_real
+    r = np.asarray(jax.device_get(state.r))[:, vac]
+    bad = (r != np.float32(VACANT_X)).sum()
+    assert bad == 0, (
+        f"{bad} vacant-slot coordinates drifted off the VACANT_X "
+        f"sentinel — an integrator or repack forgot _pin_vacant")
+
+
 def unpack_positions(state: PackedState, spec: PackedSpec) -> jax.Array:
     """(N, 3) particle-order positions (host/diagnostics; uses a gather —
     NOT for the hot loop)."""

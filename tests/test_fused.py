@@ -223,6 +223,8 @@ def test_lagged_sampler_matches_exact_mts():
             m = hist[-1]
             assert not bool(m["nlist_overflow"])
             assert np.isfinite(np.asarray(m["cv"])).all()
+            from metadyn_tpu.ops.packed import assert_no_vacant_drift
+            assert_no_vacant_drift(s.state, s.engine.spec)
             res[lag] = np.asarray(m["cv"])
         np.testing.assert_allclose(res[True], res[False], rtol=2e-3,
                                    atol=2e-3)

@@ -518,6 +518,10 @@ def test_packed_uniform_eps_md_block():
 
             st, aux = run(st, aux)
             assert not bool(aux.overflow)
+            # the load-bearing sentinel invariant: integrators + repacks
+            # must keep vacant slots pinned at EXACTLY VACANT_X
+            from metadyn_tpu.ops.packed import assert_no_vacant_drift
+            assert_no_vacant_drift(st, spec)
             res[lean] = np.asarray(st.r[:, st.slot_of])
     finally:
         pp2.pl.pallas_call = orig
@@ -868,3 +872,55 @@ def test_packed_order_pallas_interpret_matches_xla(sentinel):
         np.testing.assert_allclose(g_p, g_x, rtol=2e-3, atol=2e-4 * scale)
     finally:
         pop.pl.pallas_call = orig
+
+
+def test_packed_npt_cell_width_guard():
+    """VERDICT r3 item 8: sustained NPT compression against the static
+    cell grid trips the ``cell_width_violation`` metric flag BEFORE the
+    physics silently degrades (the docstring caveat is now a guard)."""
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.integrate.packed import make_packed_npt_scr_step
+
+    pos, n, box, spec, st, ovf = _fcc_case(ncell=5, a=1.9)
+    engine = PackedEngine(spec, rebuild_every=5, use_pallas=False,
+                          with_energy=True)
+    st, aux = engine.init(st)
+    m0 = jax.device_get(engine.metrics(st, aux))
+    assert not bool(m0["cell_width_violation"])
+
+    # direct check: a shrunken box flips the flag exactly at r_list
+    L0 = float(box.L[0])
+    cx = spec.cells_per_dim[0]
+    L_crit = spec.r_list * cx
+    shrunk = st.replace(box=st.box.replace(
+        L=jnp.asarray([L_crit * 0.98] * 3, jnp.float32)))
+    m1 = jax.device_get(engine.metrics(shrunk, aux))
+    assert bool(m1["cell_width_violation"])
+
+    # dynamic check: a strong SCR-NPT compression trips the flag while
+    # the state is still finite (loud before wrong)
+    step = make_packed_npt_scr_step(
+        lambda s: engine.force_into(s, aux), spec, dt=0.004, kT=1.0,
+        pressure=60.0, tau_p=0.5, kappa=0.4)
+
+    @jax.jit
+    def block(c, key):
+        st2, a2 = c
+        st2, a2 = engine.rebuild(st2, a2)
+
+        def body(s2, i):
+            return step(s2, jax.random.fold_in(key, i)), None
+
+        st2, _ = jax.lax.scan(body, st2, jnp.arange(5))
+        return (st2, a2)
+
+    tripped = False
+    for b in range(120):
+        st, aux = block((st, aux), jax.random.fold_in(jax.random.PRNGKey(3), b))
+        m = jax.device_get(engine.metrics(st, aux))
+        if bool(m["cell_width_violation"]):
+            tripped = True
+            assert np.isfinite(float(st.potential_energy))
+            assert np.isfinite(np.asarray(st.r[:, st.pid < spec.n_real])).all()
+            break
+    assert tripped, "compression never tripped the cell-width guard"
