@@ -77,13 +77,18 @@ from ..ops.packed import (
 )
 
 
-def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
+def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None,
+               check_vma=True):
     """shard_map with optional partial-manual axes.
 
     ``mesh=None`` + ``axis_names={...}`` builds a NESTED island: the mesh
     resolves from the enclosing shard_map's context at call time and only
     ``axis_names`` become manual here — how the spatial islands run inside
     an outer ``"walkers"`` shard_map (walkers x space product meshes).
+
+    ``check_vma=False`` disables the varying-manual-axes checker — needed
+    when the body contains a ``pallas_call`` (its out_shape avals carry
+    no vma annotation).
     """
     if hasattr(jax, "shard_map"):
         kw = {}
@@ -91,12 +96,15 @@ def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
             kw["mesh"] = mesh
         if axis_names is not None:
             kw["axis_names"] = frozenset(axis_names)
+        if not check_vma:
+            kw["check_vma"] = False
         return jax.shard_map(fn, in_specs=in_specs, out_specs=out_specs,
                              **kw)
     from jax.experimental.shard_map import shard_map as sm
     assert mesh is not None and axis_names is None, (
         "nested/partial-manual shard_map needs jax.shard_map (axis_names)")
-    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+    return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+              check_rep=check_vma)
 
 
 def _halo_exchange(plane_lo, plane_hi, axis: str, n_dev: int):
@@ -120,7 +128,7 @@ def _force_attr_names(spec: PackedSpec) -> list[str]:
 
 
 def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
-                          nested: bool = False):
+                          nested: bool = False, pair_pallas: bool = False):
     """Build ``force(state) -> state`` with the cell grid sharded along x.
 
     ``state`` holds GLOBAL (cap, C)-flat slot arrays; under ``jit`` +
@@ -130,7 +138,26 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     island for use INSIDE an enclosing shard_map (e.g. over a
     ``"walkers"`` axis of the same mesh): only ``axis`` goes manual and
     the mesh resolves from the calling context.
+
+    ``pair_pallas=True`` runs the Newton-halved Pallas pair kernel
+    (ops/packed_pallas2) on the halo-extended local grid instead of the
+    XLA roll sweep — the single biggest multi-chip throughput lever
+    (measured round 4: the forced XLA path cost 2.9× at Config-3 scale;
+    the halo overhead itself is ~4%).  Forces only (with_energy=False):
+    every pair is enumerated once; a pair with its i-row in a ghost
+    plane contributes its j-side reaction to the interior and the
+    discarded ghost force is recomputed by the owning neighbor, and the
+    roll-wrapped pairs of the non-periodic extended grid are always
+    ghost↔ghost (interior planes are buffered on both sides), so
+    discarding the ghost planes yields exactly the interior forces.
+    Energy/virial stay on the XLA+cell-mask path (``refresh_energy`` at
+    stride boundaries).  Not supported for nested (product-mesh) islands.
     """
+    if pair_pallas:
+        assert not nested, (
+            "pair_pallas inside nested (walkers×space) islands is "
+            "untested — product meshes stay on the XLA path")
+        from ..ops.packed_pallas2 import packed_lj_force_pallas2
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
     n_dev = mesh.shape[axis]
@@ -189,11 +216,17 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
             box=Box(L=box_L),
             potential_energy=jnp.float32(0.0),
             virial=jnp.zeros(3, jnp.float32))
-        out = packed_lj_force(st_ext, spec_ext, cell_mask=interior)
+        if pair_pallas:
+            out = packed_lj_force_pallas2(st_ext, spec_ext,
+                                          with_energy=False)
+            e = jnp.float32(0.0)
+            w = jnp.zeros(3, jnp.float32)
+        else:
+            out = packed_lj_force(st_ext, spec_ext, cell_mask=interior)
+            e = jax.lax.psum(out.potential_energy, axis)
+            w = jax.lax.psum(out.virial, axis)
         # keep interior planes only; reduce the scalars over the ring
         f_loc = out.f.reshape(3, cap, cx_l + 2, plane)[:, :, 1:-1]
-        e = jax.lax.psum(out.potential_energy, axis)
-        w = jax.lax.psum(out.virial, axis)
         return f_loc.reshape(3, cap, C_l), e, w
 
     # the flat slot axis is cap-major/C-minor, so sharding must apply to
@@ -204,6 +237,7 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
                   {k: P(None, axis) for k in attr_names}, P(), P(axis)),
         out_specs=(P(None, None, axis), P(), P()),
         axis_names=(axis,) if nested else None,
+        check_vma=not pair_pallas,
     )
     shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
 
@@ -427,25 +461,42 @@ class SpatialPackedEngine(PackedEngine):
 
     def __init__(self, spec: PackedSpec, mesh: Mesh, axis: str = "space",
                  rebuild_every: int = 1, mass: float = 1.0,
-                 nested: bool = False, walker_axis: str = "walkers"):
+                 nested: bool = False, walker_axis: str = "walkers",
+                 pair_pallas: Optional[bool] = None):
         """``nested=True`` builds the halo islands for use inside an
         enclosing shard_map over ``walker_axis`` of ``mesh`` (the
         reference's ``mpirun -n W*S --nrank W`` — walker partitions each
         internally domain-decomposed): pass the full product mesh here and
         the same mesh to
-        :class:`~metadyn_tpu.parallel.walkers.WalkerSampler`."""
+        :class:`~metadyn_tpu.parallel.walkers.WalkerSampler`.
+
+        ``pair_pallas`` (default: TPU and not nested) runs the inner-step
+        pair force through the Newton-halved Pallas kernel on the
+        halo-extended local grid (see :func:`make_sharded_lj_force`) —
+        closes most of the 2.9× DD tax measured in round 4.  Energy/
+        virial refreshes and the CV sweeps stay on the GSPMD XLA path
+        (``self.use_pallas`` remains False for the order-CV kernels,
+        which are not shard-local)."""
         super().__init__(spec, rebuild_every=rebuild_every,
                          use_pallas=False, mass=mass)
         self.mesh = mesh
         self.axis = axis
         self._nested_islands = nested
         self._walker_axis = walker_axis
+        if pair_pallas is None:
+            pair_pallas = (jax.default_backend() == "tpu" and not nested
+                           and spec.pair_kind == "lj")
+        self.pair_pallas = pair_pallas
         sharded_force = make_sharded_lj_force(spec, mesh, axis,
-                                              nested=nested)
+                                              nested=nested,
+                                              pair_pallas=pair_pallas)
+        sharded_force_e = (make_sharded_lj_force(spec, mesh, axis,
+                                                 nested=nested)
+                           if pair_pallas else sharded_force)
         self._sharded_repack = make_sharded_repack(spec, mesh, axis,
                                                    nested=nested)
         self._force = lambda st, sp: sharded_force(st)
-        self._force_e = lambda st, sp: sharded_force(st)
+        self._force_e = lambda st, sp: sharded_force_e(st)
 
     def rebuild(self, state: PackedState, aux: PackedAux):
         # the repack decision is a GLOBAL scalar (max displacement over

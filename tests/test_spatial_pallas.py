@@ -1,0 +1,71 @@
+"""Pallas pair kernel inside the spatial shard_map island.
+
+Round-4 DD-tax measurement: the sharded engine's forced XLA roll path
+cost 2.9× at Config-3 scale while the halo overhead was ~4% — so the
+Pallas kernel on the halo-extended local grid is the multi-chip lever
+(measured 11.8M → 20.15M at 1 device on the real chip).  Correctness
+argument (see make_sharded_lj_force docstring): with Newton halving each
+pair is enumerated once; ghost-row forces are discarded and recomputed
+by the owning neighbor; roll-wrapped pairs of the non-periodic extended
+grid are always ghost↔ghost.  This test pins force parity against the
+XLA cell-mask island (whose trajectory-level differential vs the
+single-device engine lives in test_spatial.py); the MD-scan behavior is
+identical because both paths feed the same engine protocol.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.sharding import Mesh
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.ops.packed import PackedSpec
+from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+from metadyn_tpu.utils.lattice import fcc_lattice
+
+
+@pytest.mark.parametrize("sentinel", [False, True],
+                         ids=["general", "sentinel"])
+def test_spatial_pair_pallas_matches_xla(sentinel):
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+
+    a = 2.0
+    pos = fcc_lattice(4, a)   # 256 particles; cx = 4 divides over 2 shards
+    n = pos.shape[0]
+    L = 4 * a
+    box = Box.cubic(L)
+    rng = np.random.default_rng(4)
+    pos = pos + rng.normal(0, 0.06, pos.shape).astype(np.float32)
+    kw = dict(uniform_sigma=1.0, uniform_eps=1.0) if sentinel else {}
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+
+    def forces(pair_pallas):
+        spec = PackedSpec.create(L, n, r_cut=1.5, skin=0.5, cap=16,
+                                 shift_energy=False, **kw)
+        engine = SpatialPackedEngine(spec, mesh, rebuild_every=5,
+                                     pair_pallas=pair_pallas)
+        assert engine.pair_pallas == pair_pallas
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32))
+        assert not bool(ovf)
+        f = jax.jit(lambda s: engine.force_into(s, None).f)(st)
+        # the energy path must stay on the XLA cell-mask island
+        e = float(jax.jit(
+            lambda s: engine.refresh_energy(s, None).potential_energy)(st))
+        return np.asarray(f), e
+
+    orig = pl.pallas_call
+    pp2.pl.pallas_call = lambda *ar, **k: orig(*ar, **{**k,
+                                                       "interpret": True})
+    try:
+        f_p, e_p = forces(True)
+    finally:
+        pp2.pl.pallas_call = orig
+    f_x, e_x = forces(False)
+
+    scale = np.abs(f_x).max()
+    np.testing.assert_allclose(f_p, f_x, rtol=1e-4, atol=1e-5 * scale)
+    np.testing.assert_allclose(e_p, e_x, rtol=1e-5)
