@@ -48,7 +48,8 @@ class PackedEngine:
     def __init__(self, spec: PackedSpec, rebuild_every: int = 1,
                  use_pallas: Optional[bool] = None, mass: float = 1.0,
                  with_energy: bool = False,
-                 nbr_table: Optional[tuple] = None):
+                 nbr_table: Optional[tuple] = None,
+                 always_repack: bool = False):
         """``with_energy=True`` makes EVERY force call accumulate
         energy/virial (default: inner MD steps skip them, refreshed at
         stride boundaries).  Required when the potential energy itself is
@@ -59,8 +60,17 @@ class PackedEngine:
         table (rebuilt at every repack, see ops/neighbor_table) that the
         sampler's order-CV hot path consumes instead of the masked roll
         sweep.  ``r_nb`` must bound every order-CV cutoff + skin (the
-        sampler asserts) and fit the 27-cell stencil (asserted here)."""
+        sampler asserts) and fit the 27-cell stencil (asserted here).
+
+        ``always_repack=True`` repacks UNconditionally at every rebuild
+        boundary (a superset of the distance-triggered repacks — strictly
+        safer, just slower).  Test hook: it makes repack TIMING
+        deterministic, so trajectory-level oracles hold across engines
+        whose repack triggers would otherwise couple differently (the
+        walkers×space product mesh pmax-couples the decision across
+        walkers — see SpatialPackedEngine.rebuild)."""
         self.spec = spec
+        self.always_repack = always_repack
         self.nbr_table = nbr_table
         if nbr_table is not None:
             assert nbr_table[1] % 8 == 0, (
@@ -122,7 +132,8 @@ class PackedEngine:
         return self.force_into(state, aux), aux
 
     def rebuild(self, state: PackedState, aux: PackedAux):
-        need = needs_repack(state, self.spec)
+        need = (jnp.asarray(True) if self.always_repack
+                else needs_repack(state, self.spec))
 
         if self.nbr_table is not None:
             from ..ops.neighbor_table import build_slot_neighbor_table

@@ -462,7 +462,8 @@ class SpatialPackedEngine(PackedEngine):
     def __init__(self, spec: PackedSpec, mesh: Mesh, axis: str = "space",
                  rebuild_every: int = 1, mass: float = 1.0,
                  nested: bool = False, walker_axis: str = "walkers",
-                 pair_pallas: Optional[bool] = None):
+                 pair_pallas: Optional[bool] = None,
+                 always_repack: bool = False):
         """``nested=True`` builds the halo islands for use inside an
         enclosing shard_map over ``walker_axis`` of ``mesh`` (the
         reference's ``mpirun -n W*S --nrank W`` — walker partitions each
@@ -478,7 +479,8 @@ class SpatialPackedEngine(PackedEngine):
         (``self.use_pallas`` remains False for the order-CV kernels,
         which are not shard-local)."""
         super().__init__(spec, rebuild_every=rebuild_every,
-                         use_pallas=False, mass=mass)
+                         use_pallas=False, mass=mass,
+                         always_repack=always_repack)
         self.mesh = mesh
         self.axis = axis
         self._nested_islands = nested
@@ -502,7 +504,8 @@ class SpatialPackedEngine(PackedEngine):
         # the repack decision is a GLOBAL scalar (max displacement over
         # all shards), so every device takes the same cond branch and the
         # collectives inside the sharded repack line up
-        need = needs_repack(state, self.spec)
+        need = (jnp.asarray(True) if self.always_repack
+                else needs_repack(state, self.spec))
         if self._nested_islands:
             # product meshes: the decision must ALSO be uniform across
             # walkers — the repack's space-ring collectives rendezvous

@@ -162,6 +162,8 @@ def test_fused_kernel_matches_split_oracles(mono):
     np.testing.assert_allclose(s, np.asarray(s_x), rtol=2e-4)
 
 
+@pytest.mark.smoke
+@pytest.mark.slow
 def test_lagged_sampler_matches_exact_mts():
     """MetadSampler(mts_lag=True) tracks the exact-MTS trajectory: same
     seed, 40 steps, CV endpoints equal to ~1e-4 (the lag perturbation is

@@ -245,6 +245,7 @@ def test_npt_with_mesh_bias_pressure_consistent(key):
     assert np.max(np.abs(wb)) > 1e-3, wb
 
 
+@pytest.mark.slow
 @pytest.mark.smoke
 def test_box_shape_metadynamics_end_to_end(key):
     """Box-shape metadynamics (VERDICT r1 item 4): WT hills deposited on

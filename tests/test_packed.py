@@ -776,6 +776,7 @@ def test_neighbor_table_mtd_run_with_repack():
     np.testing.assert_allclose(np.asarray(s_t), s_r, rtol=5e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.smoke
 def test_packed_mts_bias_every_smoke():
     """bias_every=5 on the packed order-CV path: the MTS chunk (CV sweeps

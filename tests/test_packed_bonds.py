@@ -437,6 +437,8 @@ def test_packed_harmonic_bonds_pallas2_interpret():
                                rtol=1e-3, atol=1e-3 * scale)
 
 
+@pytest.mark.smoke
+@pytest.mark.slow
 def test_packed_harmonic_bonds_under_spatial_dd():
     """Harmonic chains step identically on the sharded engine: ghost
     planes carry the partner attrs, so cross-boundary springs act
