@@ -335,10 +335,40 @@ def build_sampler(cfg: dict, resume: bool = False):
             tilt=tilt)
         # spatial domain decomposition: engine.spatial_devices shards the
         # cell grid over the first N devices (the mpirun/-nrank analog —
-        # one YAML key instead of a launcher flag)
-        sp_dev = int(eng_cfg.get("spatial_devices", 1) or 1)
+        # one YAML key instead of a launcher flag).  A [nx, ny] list
+        # selects the 2-D decomposition (parallel/spatial2d): x AND y
+        # cell axes sharded — for device counts beyond cx or when the
+        # slab ghost fraction dominates.
+        sp_raw = eng_cfg.get("spatial_devices", 1) or 1
+        sp_dev = 1 if isinstance(sp_raw, (list, tuple)) else int(sp_raw)
         smesh = None
-        if sp_dev > 1:
+        if isinstance(sp_raw, (list, tuple)):
+            nx, ny = int(sp_raw[0]), int(sp_raw[1])
+            from jax.sharding import Mesh as _JaxMesh
+            from .parallel.spatial2d import SpatialPackedEngine2D
+            devs = jax.devices()
+            need = nx * ny
+            if len(devs) < need:
+                raise ValueError(
+                    f"engine.spatial_devices={sp_raw} needs {need} "
+                    f"devices, have {len(devs)}")
+            if n_walkers > 1:
+                raise ValueError(
+                    "walkers x 2-D-space product meshes are not "
+                    "supported yet (use the 1-D slab decomposition)")
+            bad = {c["kind"] for c in cvs_cfg} - {
+                "lamellar", "msd", "steinhardt", "q6", "coordination"}
+            if bad:
+                raise ValueError(
+                    f"cv kinds {sorted(bad)} are not supported under the "
+                    "2-D decomposition yet (mesh CV needs the 1-D slab "
+                    "FFT)")
+            m2d = _JaxMesh(np.asarray(devs[:need]).reshape(nx, ny),
+                           ("spacex", "spacey"))
+            engine = SpatialPackedEngine2D(
+                spec, m2d,
+                rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+        elif sp_dev > 1:
             from jax.sharding import Mesh as _JaxMesh
             from .parallel.spatial import SpatialPackedEngine
             devs = jax.devices()

@@ -1,0 +1,192 @@
+"""2-D spatial decomposition (parallel/spatial2d): force + migration +
+biased-MD parity vs the single-device engine.
+
+Reference parity: HOOMD's 3-D sub-box ``Communicator`` (SURVEY.md §2b);
+the 1-D slab module caps at cx devices — the 2-D mesh is the named
+extension (round-3 VERDICT missing #6).  The test mesh is 2×2 over the
+8-virtual-device CPU backend.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from metadyn_tpu.core.box import Box
+from metadyn_tpu.core.packed_engine import PackedEngine
+from metadyn_tpu.core.state import make_system
+from metadyn_tpu.ops.packed import PackedSpec, unpack_positions
+from metadyn_tpu.parallel.spatial2d import SpatialPackedEngine2D
+from metadyn_tpu.integrate.packed import make_packed_langevin_step
+
+
+def _case(n_side=6, L=12.0, seed=0, jitter=0.15):
+    sp = L / n_side
+    sites = np.stack(np.meshgrid(*[np.arange(n_side)] * 3, indexing="ij"),
+                     -1).reshape(-1, 3) * sp - L / 2 + 0.5
+    rng = np.random.default_rng(seed)
+    pos = (sites + rng.uniform(-jitter, jitter, sites.shape)) \
+        .astype(np.float32)
+    n = pos.shape[0]
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    return pos, vel, n, Box.cubic(L)
+
+
+def _mesh2d():
+    devs = np.asarray(jax.devices()[:4]).reshape(2, 2)
+    return Mesh(devs, ("spacex", "spacey"))
+
+
+def test_2d_force_matches_single_device():
+    pos, vel, n, box = _case()
+    L = float(box.L[0])
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False)
+    eng_ref = PackedEngine(spec, use_pallas=False)
+    eng_2d = SpatialPackedEngine2D(spec, _mesh2d())
+
+    def forces(engine):
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32), vel=vel)
+        assert not bool(ovf)
+        st = jax.jit(lambda s: engine.force_into(s, None))(st)
+        return (np.asarray(st.f), float(st.potential_energy),
+                np.asarray(st.virial))
+
+    f_r, e_r, w_r = forces(eng_ref)
+    f_2, e_2, w_2 = forces(eng_2d)
+    scale = np.abs(f_r).max()
+    np.testing.assert_allclose(f_2, f_r, rtol=1e-5, atol=1e-6 * scale)
+    np.testing.assert_allclose(e_2, e_r, rtol=1e-5)
+    np.testing.assert_allclose(w_2, w_r, rtol=1e-4)
+
+
+def test_2d_repack_bit_identical_to_single_device():
+    """The 2-D sharded migration assigns the SAME slots as the
+    single-device incremental repack — through x, y AND corner
+    (diagonal) ownership handoffs."""
+    from metadyn_tpu.ops.packed import repack_incremental
+
+    pos, vel, n, box = _case(jitter=0.3)
+    L = float(box.L[0])
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False)
+    eng = PackedEngine(spec, use_pallas=False)
+    st, ovf = eng.pack_state(pos, box, np.zeros(n, np.int32),
+                             eps_i=np.ones(n, np.float32),
+                             sigma_i=np.ones(n, np.float32), vel=vel)
+    assert not bool(ovf)
+    # push every particle by a random sub-cell displacement (many cross
+    # x/y/z cell boundaries, including diagonals = corner handoffs)
+    rng = np.random.default_rng(3)
+    dr = jnp.asarray(rng.uniform(-1.4, 1.4, (3, st.r.shape[1])),
+                     jnp.float32)
+    st = st.replace(r=st.r + dr)
+
+    ref, bad_ref = jax.jit(lambda s: repack_incremental(s, spec))(st)
+    assert not bool(bad_ref)
+    eng2 = SpatialPackedEngine2D(spec, _mesh2d())
+    got, bad_2 = jax.jit(eng2._sharded_repack)(st)
+    assert not bool(bad_2)
+
+    np.testing.assert_array_equal(np.asarray(got.pid), np.asarray(ref.pid))
+    np.testing.assert_array_equal(np.asarray(got.slot_of),
+                                  np.asarray(ref.slot_of))
+    np.testing.assert_allclose(np.asarray(got.r), np.asarray(ref.r),
+                               atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got.image),
+                                  np.asarray(ref.image))
+
+
+@pytest.mark.smoke
+def test_2d_biased_md_matches_single_device():
+    """100 biased MD steps (WT metadynamics on a lamellar CV) on the 2×2
+    mesh match the single-device run — migration, halos and CV psum all
+    exercised (the 2-D analog of test_spatial's stepping differential)."""
+    from metadyn_tpu.sampler import MetadSampler
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+
+    pos, vel, n, box = _case()
+    L = float(box.L[0])
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
+                             shift_energy=False)
+    cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="lam")
+    amps = np.ones(n, np.float32)
+    system = make_system(n)
+
+    def build(engine):
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32), vel=vel,
+            extra_attrs={cv.attr_name: amps})
+        assert not bool(ovf)
+        return MetadSampler(
+            system, st, engine, cvs=[cv],
+            grid_spec=GridSpec.create([-0.5], [0.5], [51], [0.02]),
+            hills=HillSpec.create(W=0.5, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.004, kT=1.0, gamma=1.0),
+            seed=0, chunks_per_block=1)
+
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False))
+    h_ref = s_ref.run(100)
+    s_2d = build(SpatialPackedEngine2D(spec, _mesh2d(), rebuild_every=5))
+    h_2d = s_2d.run(100)
+
+    m_r, m_2 = h_ref[-1], h_2d[-1]
+    assert not bool(m_2["nlist_overflow"])
+    np.testing.assert_allclose(np.asarray(m_2["cv"]),
+                               np.asarray(m_r["cv"]), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(m_2["potential_energy"]),
+                               float(m_r["potential_energy"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_2d.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V),
+                               rtol=1e-4, atol=1e-6)
+    p_r = np.asarray(unpack_positions(s_ref.state, spec))
+    p_2 = np.asarray(unpack_positions(s_2d.state, spec))
+    np.testing.assert_allclose(p_2, p_r, rtol=1e-4, atol=1e-4)
+
+
+def test_cli_spatial_devices_2d(tmp_path):
+    """engine.spatial_devices: [2, 2] builds the 2-D engine from YAML and
+    runs biased MD end-to-end."""
+    import yaml as _yaml
+    from metadyn_tpu.cli import build_sampler
+
+    cfg = dict(
+        system={"init": {"kind": "sc", "n_per_side": 6, "spacing": 2.0},
+                "kT": 1.0},
+        engine={"kind": "packed", "spatial_devices": [2, 2], "skin": 0.5,
+                "rebuild_every": 5, "cap": 24,
+                "pair": {"kind": "lj", "r_cut": 2.5, "shift": False}},
+        integrator={"kind": "langevin", "dt": 0.004, "gamma": 1.0},
+        cvs=[{"name": "lam", "kind": "lamellar",
+              "lattice_vector": [0, 0, 2],
+              "grid": {"min": -0.5, "max": 0.5, "num_points": 31,
+                       "sigma": 0.02}}],
+        metadynamics={"W": 0.3, "stride": 10, "mode": "well_tempered",
+                      "deltaT": 5.0},
+        run={"n_steps": 20, "report_every": 20},
+        chunks_per_block=1, output={})
+    sampler, _ = build_sampler(cfg)
+    assert isinstance(sampler.engine, SpatialPackedEngine2D)
+    h = sampler.run(20)
+    assert np.isfinite(np.asarray(h[-1]["cv"])).all()
+    assert not bool(h[-1]["nlist_overflow"])
+    assert int(sampler.bias.n_hills) == 2
+
+    # unsupported combos fail loudly before any compile
+    bad = dict(cfg)
+    bad["cvs"] = [{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8],
+                   "k0": 1.57, "width": 0.5, "mode": [1.0],
+                   "grid": {"min": 0.0, "max": 150.0, "num_points": 31,
+                            "sigma": 7.5}}]
+    with pytest.raises(ValueError, match="2-D decomposition"):
+        build_sampler(bad)
