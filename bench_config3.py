@@ -98,15 +98,19 @@ def run_once(cap: int):
         bias_every=10, mts_lag=True)
 
     sampler.run(stride * 2)            # compile + settle
+    sampler.run(stride * 2)            # 2nd dispatch: axon steady state
     n_meas = stride * 4
-    t0 = time.time()
-    hist = sampler.run(n_meas)
-    dt = time.time() - t0
-    rate = n * n_meas / dt
-
-    m = hist[-1]
-    ok = (np.isfinite(m["potential_energy"]) and np.isfinite(m["cv"]).all()
-          and not bool(m["nlist_overflow"]))
+    # best-of-2 blocks: tunnel/pool noise is one-sided (see bench.py)
+    rate, ok = 0.0, True
+    for _ in range(2):
+        t0 = time.time()
+        hist = sampler.run(n_meas)
+        dt = time.time() - t0
+        rate = max(rate, n * n_meas / dt)
+        m = hist[-1]
+        ok = ok and (np.isfinite(m["potential_energy"])
+                     and np.isfinite(m["cv"]).all()
+                     and not bool(m["nlist_overflow"]))
     return rate, ok
 
 
