@@ -330,6 +330,7 @@ def build_sampler(cfg: dict, resume: bool = False):
             fene_r0=None if fene is None else float(fene["r0"]),
             bond_kind=(fene or {}).get("kind", "fene"),
             uniform_sigma=eng_cfg.get("uniform_sigma"),
+            uniform_eps=eng_cfg.get("uniform_eps"),
             pair_kind="soft" if pair["kind"] == "soft" else "lj",
             eps_scale=eps_scale, sigma_scale=sigma_scale,
             tilt=tilt)
@@ -586,8 +587,30 @@ def build_sampler(cfg: dict, resume: bool = False):
         chunks_per_block=int(cfg.get("chunks_per_block", 16)),
         add_hills=add_hills,
         bias_every=bias_every,
+        # the fused lagged-MTS hot path (sentinel packed engine + order
+        # CVs; see sampler.make_lagged_parts) — the Config-3 56M/s mode.
+        # Degrades to plain MTS where unsupported (e.g. CPU runs without
+        # the Pallas kernels) rather than failing the config.
+        mts_lag=_want_lag(mcfg, engine, cvs),
     )
     return sampler, cfg
+
+
+def _want_lag(mcfg, engine, cvs) -> bool:
+    if not bool(mcfg.get("mts_lag", False)):
+        return False
+    if int(mcfg.get("bias_every", 1)) <= 1:
+        print("note: metadynamics.mts_lag needs bias_every > 1; "
+              "ignoring", file=sys.stderr)
+        return False
+    from .sampler import lag_supported
+    if lag_supported(engine, cvs):
+        return True
+    print("note: metadynamics.mts_lag requested but unsupported for this "
+          "engine/CV combination (needs the Pallas sentinel-layout packed "
+          "engine + order CVs); falling back to plain bias_every MTS",
+          file=sys.stderr)
+    return False
 
 
 def cmd_run(args) -> int:

@@ -198,6 +198,20 @@ def make_bias_force_parts(engine, cvs, system: System,
 _HELD_G_ATTRS = ("held_gx", "held_gy", "held_gz")
 
 
+def lag_supported(engine, cvs) -> bool:
+    """True iff :func:`make_lagged_parts` would accept this combination
+    (sentinel-layout packed engine with Pallas + roll-sweep order CVs)."""
+    spec = getattr(engine, "spec", None)
+    return (spec is not None and getattr(engine, "use_pallas", False)
+            and spec.uniform_eps is not None
+            and spec.uniform_sigma is not None
+            and not spec.has_bonds
+            and len(cvs) > 0
+            and all(hasattr(cv, "pair_value_terms_flat")
+                    and hasattr(cv, "pair_grad_terms") for cv in cvs)
+            and not any(hasattr(cv, "bias_virial") for cv in cvs))
+
+
 def make_lagged_parts(engine, cvs, system: System,
                       walls: WallSpec | None = None):
     """Machinery for the LAGGED fused-MTS path (``MetadSampler(mts_lag=

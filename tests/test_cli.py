@@ -495,3 +495,32 @@ def test_cli_triclinic_packed(tmp_path):
     assert main(["run", p]) == 0
     rows = open(cfg["output"]["hill_file"]).readlines()
     assert len(rows) >= 2  # header + >=1 hill deposited in the tilted box
+
+
+def test_cli_want_lag_gating(capsys):
+    """cli._want_lag: mts_lag engages ONLY for bias_every>1 on a lag-capable
+    engine/CV combination, and falls back (with a stderr note, never an
+    exception) otherwise — the YAML knob must be safe to leave on in
+    configs that also run on CPU."""
+    import jax
+    import jax.numpy as jnp
+    from metadyn_tpu.cli import _want_lag
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.ops.packed import PackedSpec
+    from metadyn_tpu.cv.packed_order import PackedCoordination
+
+    spec = PackedSpec.create(12.0, 256, r_cut=2.5, skin=0.4, cap=32,
+                             uniform_sigma=1.0, uniform_eps=1.0)
+    eng_pallas = PackedEngine(spec, use_pallas=True)
+    eng_xla = PackedEngine(spec, use_pallas=False)
+    cvs = [PackedCoordination(spec=spec, r0=1.3, r_cut=1.9, name="co")]
+
+    assert _want_lag({"mts_lag": True, "bias_every": 10}, eng_pallas, cvs)
+    # off by default
+    assert not _want_lag({"bias_every": 10}, eng_pallas, cvs)
+    # needs bias_every > 1
+    assert not _want_lag({"mts_lag": True, "bias_every": 1}, eng_pallas, cvs)
+    assert "bias_every" in capsys.readouterr().err
+    # XLA-path engine (the CPU default): falls back with a note
+    assert not _want_lag({"mts_lag": True, "bias_every": 10}, eng_xla, cvs)
+    assert "falling back" in capsys.readouterr().err
