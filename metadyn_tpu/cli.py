@@ -17,6 +17,16 @@ import sys
 import numpy as np
 
 
+def _assign_order(c: dict) -> int:
+    """Mesh-CV particle→mesh window from YAML: ``assign: cic`` (default,
+    order 2) or ``assign: tsc`` (order 3) — SURVEY.md §3.3 "CIC/TSC"."""
+    name = str(c.get("assign", "cic")).lower()
+    try:
+        return {"cic": 2, "tsc": 3}[name]
+    except KeyError:
+        raise ValueError(f"cvs.assign must be cic or tsc, got {name!r}")
+
+
 def _build_particle_cvs(cvs_cfg, system, L, pos):
     from .cv.lamellar import LamellarOP
     from .cv.mesh import MeshOrderParameter
@@ -35,7 +45,8 @@ def _build_particle_cvs(cvs_cfg, system, L, pos):
         elif kind == "mesh":
             cvs.append(MeshOrderParameter.create(
                 tuple(c["mesh"]), L, mode=c.get("mode", [1.0] * system.n_types),
-                k0=c["k0"], width=c.get("width", 0.5), name=c["name"]))
+                k0=c["k0"], width=c.get("width", 0.5), name=c["name"],
+                assign_order=_assign_order(c)))
         elif kind == "steinhardt":
             cvs.append(SteinhardtQl(r_cut=c["r_cut"], l=c.get("l", 6),
                                     name=c["name"]))
@@ -82,6 +93,11 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
                 c.get("mode", [1.0] * system.n_types), np.float32)[types]
         elif kind == "mesh":
             if smesh is not None:
+                if _assign_order(c) != 2:
+                    raise ValueError(
+                        "cvs.assign: tsc is not supported under "
+                        "engine.spatial_devices (the distributed slab FFT's "
+                        "halo folds are CIC-width); use assign: cic")
                 from .parallel.mesh import ShardedPackedMesh
                 cv = ShardedPackedMesh.create(
                     tuple(c["mesh"]), spec, smesh, n_real=n, k0=c["k0"],
@@ -89,7 +105,8 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
             else:
                 cv = PackedMesh.create(tuple(c["mesh"]), None, n_real=n,
                                        k0=c["k0"], width=c.get("width", 0.5),
-                                       name=c["name"])
+                                       name=c["name"],
+                                       assign_order=_assign_order(c))
             extra_attrs[cv.attr_name] = np.asarray(
                 c.get("mode", [1.0] * system.n_types), np.float32)[types]
         elif kind in ("steinhardt", "q6"):

@@ -27,30 +27,55 @@ from flax import struct
 from ..core.state import State, System
 
 
-def cic_assign(pos: jax.Array, weights: jax.Array, box, mesh_shape) -> jax.Array:
-    """Cloud-in-cell (trilinear) particle→mesh assignment, differentiable."""
+def axis_stencil(f: jax.Array, order: int):
+    """Per-axis assignment stencil at mesh coordinate ``f`` (grid node g
+    sits at f = g + 0.5): ``(base_node_int, [(offset, weight), ...])``.
+
+    order 2 = CIC (trilinear), order 3 = TSC (triangle-shaped cloud,
+    quadratic B-spline) — the two schemes the reference's PPPM-style mesh
+    OP offers (``OrderParameterMesh``, recalled; SURVEY.md §3.3
+    "CIC/TSC").  Weights are pure polynomial functions of the fractional
+    offset, so both are differentiable and box-scale-invariant."""
+    if order == 2:
+        base = jnp.floor(f - 0.5)
+        t = f - 0.5 - base                      # weight toward the +1 node
+        return base.astype(jnp.int32), [(0, 1.0 - t), (1, t)]
+    if order == 3:
+        base = jnp.floor(f)                     # nearest node (centers at
+        d = f - 0.5 - base                      #   half-integers), |d|≤1/2
+        return base.astype(jnp.int32), [
+            (-1, 0.5 * (0.5 - d) ** 2),
+            (0, 0.75 - d * d),
+            (1, 0.5 * (0.5 + d) ** 2)]
+    raise ValueError(f"assign order {order} unsupported (2=CIC, 3=TSC)")
+
+
+def mesh_assign(pos: jax.Array, weights: jax.Array, box, mesh_shape,
+                order: int = 2) -> jax.Array:
+    """Particle→mesh assignment (CIC order=2 / TSC order=3), differentiable."""
     nx, ny, nz = mesh_shape
     dims = jnp.asarray([nx, ny, nz], jnp.float32)
     # fractional coordinates: pos/L orthorhombic, h⁻¹·pos triclinic (the
-    # mesh is a lattice-aligned grid either way — CIC weights are pure
-    # fractional functions, so the assignment generalizes unchanged)
+    # mesh is a lattice-aligned grid either way — the window weights are
+    # pure fractional functions, so the assignment generalizes unchanged)
     from ..core.box import fractional
     frac = (fractional(pos, box) + 0.5) * dims  # (N, 3) mesh coords
-    i0 = jnp.floor(frac - 0.5)
-    t = frac - 0.5 - i0                         # weight toward the +1 corner
-    i0 = i0.astype(jnp.int32)
+    ax = [axis_stencil(frac[:, d], order) for d in range(3)]
     rho = jnp.zeros((nx, ny, nz), jnp.float32)
-    dims_i = jnp.asarray([nx, ny, nz], jnp.int32)
-    for cx in (0, 1):
-        for cy in (0, 1):
-            for cz in (0, 1):
-                w = (weights
-                     * (t[:, 0] if cx else 1.0 - t[:, 0])
-                     * (t[:, 1] if cy else 1.0 - t[:, 1])
-                     * (t[:, 2] if cz else 1.0 - t[:, 2]))
-                idx = jnp.mod(i0 + jnp.asarray([cx, cy, cz]), dims_i)
-                rho = rho.at[idx[:, 0], idx[:, 1], idx[:, 2]].add(w)
+    dims_i = (nx, ny, nz)
+    for cx, wx in ax[0][1]:
+        for cy, wy in ax[1][1]:
+            for cz, wz in ax[2][1]:
+                w = weights * wx * wy * wz
+                idx = [jnp.mod(ax[d][0] + c, dims_i[d])
+                       for d, c in enumerate((cx, cy, cz))]
+                rho = rho.at[idx[0], idx[1], idx[2]].add(w)
     return rho
+
+
+def cic_assign(pos: jax.Array, weights: jax.Array, box, mesh_shape) -> jax.Array:
+    """Cloud-in-cell (trilinear) particle→mesh assignment, differentiable."""
+    return mesh_assign(pos, weights, box, mesh_shape, order=2)
 
 
 def _k_vectors(mesh_shape, box_L):
@@ -74,11 +99,13 @@ class MeshOrderParameter:
     width: float = struct.field(pytree_node=False)   # Gaussian window width
     mesh_shape: tuple = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False, default="mesh")
+    assign_order: int = struct.field(pytree_node=False, default=2)
 
     @classmethod
     def create(cls, mesh_shape, box_L, mode, k0: Optional[float] = None,
                width: float = 0.5, u_k: Optional[np.ndarray] = None,
-               name: str = "mesh") -> "MeshOrderParameter":
+               name: str = "mesh",
+               assign_order: int = 2) -> "MeshOrderParameter":
         """With ``k0``/``width`` (the default), u(|k|) is a Gaussian window
         evaluated at the CURRENT box's k-vectors every step — the CV
         follows the box under NPT exactly like the reference's per-box
@@ -94,7 +121,8 @@ class MeshOrderParameter:
                        else jnp.asarray(np.asarray(u_k, np.float32)),
                    k0=None if k0 is None else float(k0),
                    width=float(width),
-                   mesh_shape=mesh_shape, name=name)
+                   mesh_shape=mesh_shape, name=name,
+                   assign_order=int(assign_order))
 
     @property
     def log_name(self) -> str:
@@ -136,7 +164,8 @@ class MeshOrderParameter:
 
     def _rho_k2(self, state: State, system: System) -> jax.Array:
         w = self.mode[system.types]
-        rho = cic_assign(state.pos, w, state.box, self.mesh_shape)
+        rho = mesh_assign(state.pos, w, state.box, self.mesh_shape,
+                          order=self.assign_order)
         return jnp.abs(jnp.fft.fftn(rho)) ** 2
 
     def value(self, state: State, system: System) -> jax.Array:

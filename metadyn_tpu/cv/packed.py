@@ -145,10 +145,11 @@ class PackedMesh:
     mesh_shape: tuple = struct.field(pytree_node=False)
     n_real: int = struct.field(pytree_node=False)
     name: str = struct.field(pytree_node=False, default="mesh")
+    assign_order: int = struct.field(pytree_node=False, default=2)
 
     @classmethod
     def create(cls, mesh_shape, box_L, n_real, k0=None, width=0.5,
-               u_k=None, name="mesh"):
+               u_k=None, name="mesh", assign_order=2):
         """Gaussian-window mode (k0/width): u evaluated at the CURRENT
         box's k-vectors (NPT-correct, analytic k-space virial); explicit
         u_k: box-fixed fractional-mode weights (zero virial).  See
@@ -160,7 +161,8 @@ class PackedMesh:
                        else jnp.asarray(np.asarray(u_k, np.float32)),
                    k0=None if k0 is None else float(k0),
                    width=float(width),
-                   mesh_shape=mesh_shape, n_real=n_real, name=name)
+                   mesh_shape=mesh_shape, n_real=n_real, name=name,
+                   assign_order=int(assign_order))
 
     def _kernels(self, box):
         """(u, vir) with vir the per-axis stack (3, nx, ny, nz):
@@ -206,24 +208,20 @@ class PackedMesh:
         w = state.attrs[self.attr_name]
         rho = jnp.zeros(nx * ny * nz, jnp.float32)
         # per-axis mesh coords from SoA components (no (Npad, 3) array);
-        # assignment is FRACTIONAL (lattice-aligned CIC), so the same
-        # code covers tilted cells (cv/mesh.py parity)
+        # assignment is FRACTIONAL (lattice-aligned CIC/TSC stencils,
+        # cv/mesh.axis_stencil), so the same code covers tilted cells
+        # (cv/mesh.py parity)
+        from .mesh import axis_stencil
         f3 = _frac3(state.r, state.box)
-        i0, t = [], []
-        for d, n_d in enumerate((nx, ny, nz)):
-            f = (f3[d] + 0.5) * n_d
-            base = jnp.floor(f - 0.5)
-            t.append(f - 0.5 - base)
-            i0.append(base.astype(jnp.int32))
-        for cx_ in (0, 1):
-            for cy_ in (0, 1):
-                for cz_ in (0, 1):
-                    ww = (w * (t[0] if cx_ else 1.0 - t[0])
-                            * (t[1] if cy_ else 1.0 - t[1])
-                            * (t[2] if cz_ else 1.0 - t[2]))
-                    ix = jnp.mod(i0[0] + cx_, nx)
-                    iy = jnp.mod(i0[1] + cy_, ny)
-                    iz = jnp.mod(i0[2] + cz_, nz)
+        ax = [axis_stencil((f3[d] + 0.5) * n_d, self.assign_order)
+              for d, n_d in enumerate((nx, ny, nz))]
+        for cx_, wx in ax[0][1]:
+            for cy_, wy in ax[1][1]:
+                for cz_, wz in ax[2][1]:
+                    ww = w * wx * wy * wz
+                    ix = jnp.mod(ax[0][0] + cx_, nx)
+                    iy = jnp.mod(ax[1][0] + cy_, ny)
+                    iz = jnp.mod(ax[2][0] + cz_, nz)
                     rho = rho.at[(ix * ny + iy) * nz + iz].add(ww)
         rho_k = jnp.fft.fftn(rho.reshape(nx, ny, nz))
         return jnp.abs(rho_k) ** 2

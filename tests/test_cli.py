@@ -524,3 +524,39 @@ def test_cli_want_lag_gating(capsys):
     # XLA-path engine (the CPU default): falls back with a note
     assert not _want_lag({"mts_lag": True, "bias_every": 10}, eng_xla, cvs)
     assert "falling back" in capsys.readouterr().err
+
+
+def test_cli_mesh_assign_tsc(tmp_path):
+    """cvs.assign: tsc builds a TSC-window mesh CV (single-chip packed)
+    and is refused — with a clear message — under spatial DD, where the
+    distributed slab FFT's halo folds are CIC-width."""
+    import pytest as _pytest
+    from metadyn_tpu.cli import build_sampler
+    cfg = dict(
+        system={"init": {"kind": "sc", "n_per_side": 5, "spacing": 2.4},
+                "kT": 1.0},
+        engine={"kind": "packed", "skin": 0.5, "cap": 16,
+                "pair": {"kind": "lj", "r_cut": 2.5}},
+        integrator={"kind": "langevin", "dt": 0.004, "gamma": 1.0},
+        cvs=[{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8], "k0": 1.57,
+              "width": 0.5, "mode": [1.0], "assign": "tsc",
+              "grid": {"min": 0.0, "max": 150.0, "num_points": 31,
+                       "sigma": 7.5}}],
+        metadynamics={"W": 0.3, "stride": 10, "mode": "well_tempered",
+                      "deltaT": 5.0},
+        run={"n_steps": 20, "report_every": 20},
+        output={"hill_file": str(tmp_path / "HILLS"),
+                "grid_file": str(tmp_path / "g.npz")})
+    sampler, _ = build_sampler(cfg)
+    assert sampler.cvs[0].assign_order == 3
+    hist = sampler.run(10)
+    assert np.isfinite(np.asarray(hist[-1]["cv"])).all()
+
+    bad = dict(cfg)
+    bad["engine"] = {**cfg["engine"], "spatial_devices": 2}
+    with _pytest.raises(ValueError, match="tsc"):
+        build_sampler(bad)
+    bad2 = dict(cfg)
+    bad2["cvs"] = [{**cfg["cvs"][0], "assign": "nearest"}]
+    with _pytest.raises(ValueError, match="cic or tsc"):
+        build_sampler(bad2)

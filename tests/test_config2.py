@@ -28,7 +28,8 @@ def _diblock_types(n_chains, chain_len):
 
 
 @pytest.mark.smoke
-def test_packed_mesh_matches_particle_order():
+@pytest.mark.parametrize("order", [2, 3], ids=["cic", "tsc"])
+def test_packed_mesh_matches_particle_order(order):
     pos, bonds, _ = _relaxed_melt(n_chains=12, chain_len=8)
     n = pos.shape[0]
     L = 12.0
@@ -37,13 +38,15 @@ def test_packed_mesh_matches_particle_order():
     coef = np.asarray([1.0, -1.0], np.float32)[types]
     k0 = 2 * np.pi * 2 / L
 
-    ref_cv = MeshOrderParameter.create((16, 16, 16), L, mode=[1.0, -1.0], k0=k0)
+    ref_cv = MeshOrderParameter.create((16, 16, 16), L, mode=[1.0, -1.0],
+                                       k0=k0, assign_order=order)
     system = make_system(n, types=types)
     s_ref = float(ref_cv.value(make_state(pos, box), system))
 
     spec = PackedSpec.create(L, n, r_cut=2 ** (1 / 6), skin=0.4, cap=32,
                              fene_k=30.0, fene_r0=1.5)
-    cv = PackedMesh.create((16, 16, 16), L, n_real=n, k0=k0)
+    cv = PackedMesh.create((16, 16, 16), L, n_real=n, k0=k0,
+                           assign_order=order)
     st, ovf = pack(pos, box, spec, jnp.asarray(types), jnp.ones(n), jnp.ones(n),
                    extra_attrs={**bond_partner_attrs(bonds, n),
                                 cv.attr_name: coef})

@@ -60,6 +60,69 @@ def test_mesh_cv_detects_density_wave():
     assert 0.25 < s_wave / n < 0.45, s_wave / n
 
 
+def test_tsc_assign_conserves_mass_and_spreads():
+    """TSC (order 3): mass conserved; each particle touches 27 nodes with
+    quadratic-B-spline weights (support one full cell wider than CIC)."""
+    from metadyn_tpu.cv.mesh import mesh_assign
+    n, L = 100, 10.0
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.uniform(-L / 2, L / 2, (n, 3)), jnp.float32)
+    w = jnp.asarray(rng.uniform(0.5, 2.0, n), jnp.float32)
+    rho = mesh_assign(pos, w, Box.cubic(L), (8, 8, 8), order=3)
+    np.testing.assert_allclose(float(rho.sum()), float(w.sum()), rtol=1e-5)
+    # one particle exactly at a node center: TSC still spreads (0.75^3 on
+    # the node), CIC concentrates everything on it
+    one = jnp.asarray([[0.625, 0.625, 0.625]], jnp.float32)  # node 5 of 8
+    r3 = mesh_assign(one, jnp.ones(1), Box.cubic(L), (8, 8, 8), order=3)
+    r2 = mesh_assign(one, jnp.ones(1), Box.cubic(L), (8, 8, 8), order=2)
+    np.testing.assert_allclose(float(r3.max()), 0.75 ** 3, rtol=1e-5)
+    np.testing.assert_allclose(float(r2.max()), 1.0, rtol=1e-5)
+
+
+def test_mesh_cv_tsc_density_wave():
+    """TSC mesh CV sees the same density wave as CIC, with the slightly
+    stronger window attenuation (W = sinc^3 vs sinc^2 per axis)."""
+    n, L = 4096, 16.0
+    rng = np.random.default_rng(2)
+    k0 = 2 * np.pi * 2 / L
+    z = rng.uniform(-L / 2, L / 2, 6 * n)
+    keep = rng.uniform(0, 2.0, 6 * n) < 1 + 0.9 * np.cos(k0 * z)
+    z = z[keep][:n]
+    pos = np.stack(
+        [rng.uniform(-L / 2, L / 2, n), rng.uniform(-L / 2, L / 2, n), z], 1)
+    system = make_system(n)
+    state = make_state(pos.astype(np.float32), Box.cubic(L))
+    s = {}
+    for order in (2, 3):
+        cv = MeshOrderParameter.create((16, 16, 16), L, mode=[1.0], k0=k0,
+                                       width=0.2, assign_order=order)
+        s[order] = float(cv.value(state, system))
+    # x = k0*h/2 = pi/8: attenuation ratio sinc(x)^2 = 0.983
+    assert 0.25 < s[3] / n < 0.45, s
+    np.testing.assert_allclose(s[3] / s[2], 0.9745 ** 2, rtol=5e-3)
+
+
+@pytest.mark.parametrize("order", [2, 3], ids=["cic", "tsc"])
+def test_mesh_cv_differentiable_orders(order):
+    """FD oracle for the mesh-CV gradient at both assignment orders (the
+    TSC weights are C^1, so the vjp force is continuous across cells)."""
+    n, L = 64, 8.0
+    rng = np.random.default_rng(3)
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    system = make_system(n)
+    state = make_state(pos, Box.cubic(L))
+    cv = MeshOrderParameter.create((8, 8, 8), L, mode=[1.0], k0=1.5,
+                                   assign_order=order)
+    g = jax.grad(lambda p: cv.value(state.replace(pos=p), system))(state.pos)
+    assert np.all(np.isfinite(np.asarray(g)))
+    eps = 1e-3
+    p1 = state.pos.at[5, 2].add(eps)
+    p2 = state.pos.at[5, 2].add(-eps)
+    fd = (float(cv.value(state.replace(pos=p1), system))
+          - float(cv.value(state.replace(pos=p2), system))) / (2 * eps)
+    np.testing.assert_allclose(float(g[5, 2]), fd, rtol=2e-2, atol=1e-4)
+
+
 def test_mesh_cv_differentiable():
     n, L = 64, 8.0
     rng = np.random.default_rng(3)
