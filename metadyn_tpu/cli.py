@@ -93,15 +93,11 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
                 c.get("mode", [1.0] * system.n_types), np.float32)[types]
         elif kind == "mesh":
             if smesh is not None:
-                if _assign_order(c) != 2:
-                    raise ValueError(
-                        "cvs.assign: tsc is not supported under "
-                        "engine.spatial_devices (the distributed slab FFT's "
-                        "halo folds are CIC-width); use assign: cic")
                 from .parallel.mesh import ShardedPackedMesh
                 cv = ShardedPackedMesh.create(
                     tuple(c["mesh"]), spec, smesh, n_real=n, k0=c["k0"],
-                    width=c.get("width", 0.5), box_L=box_L, name=c["name"])
+                    width=c.get("width", 0.5), box_L=box_L, name=c["name"],
+                    assign_order=_assign_order(c))
             else:
                 cv = PackedMesh.create(tuple(c["mesh"]), None, n_real=n,
                                        k0=c["k0"], width=c.get("width", 0.5),

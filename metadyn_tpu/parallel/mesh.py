@@ -63,17 +63,21 @@ class ShardedPackedMesh:
     axis: str = struct.field(pytree_node=False, default="space")
     halo: int = struct.field(pytree_node=False, default=2)
     name: str = struct.field(pytree_node=False, default="mesh")
+    assign_order: int = struct.field(pytree_node=False, default=2)
 
     @classmethod
     def create(cls, mesh_shape, spec: PackedSpec, mesh: Mesh, n_real: int,
                k0: float, width: float = 0.5, axis: str = "space",
-               box_L=None, name: str = "mesh") -> "ShardedPackedMesh":
+               box_L=None, name: str = "mesh",
+               assign_order: int = 2) -> "ShardedPackedMesh":
         mesh_shape = tuple(int(x) for x in mesh_shape)
         nx, ny, nz = mesh_shape
         n_dev = mesh.shape[axis]
         assert nx % n_dev == 0 and ny % n_dev == 0, (
             f"mesh dims ({nx},{ny}) must divide over {n_dev} devices")
-        # halo width: CIC cloud (1 column) + max drift between repacks
+        # halo width: assignment cloud (1 column — BOTH windows' worst
+        # case: CIC writes floor(f−½)+{0,1}, TSC floor(f)+{−1,0,1}; each
+        # spans at most floor(f)±1) + max drift between repacks
         # (half-skin) in mesh columns.  box_L sizes it exactly; without
         # it fall back to 2 (assert at call time catches violations).
         if box_L is not None:
@@ -86,7 +90,7 @@ class ShardedPackedMesh:
             "mesh or fewer devices")
         return cls(k0=float(k0), width=float(width), mesh_shape=mesh_shape,
                    n_real=n_real, spec=spec, mesh=mesh, axis=axis,
-                   halo=h, name=name)
+                   halo=h, name=name, assign_order=int(assign_order))
 
     @property
     def attr_name(self) -> str:
@@ -110,6 +114,7 @@ class ShardedPackedMesh:
         C_l = (cx // n_dev) * spec.n_cells // cx
         axis = self.axis
         k0, width = self.k0, self.width
+        order = self.assign_order
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
@@ -118,26 +123,23 @@ class ShardedPackedMesh:
             idx = jax.lax.axis_index(axis)
             x0 = idx * nx_l                      # my first global x-column
 
-            # --- local CIC into the halo-extended slab ------------------
-            i0, t = [], []
-            for d, n_d in enumerate((nx, ny, nz)):
-                f = (r[d].reshape(-1) / box_L[d] + 0.5) * n_d
-                base = jnp.floor(f - 0.5)
-                t.append(f - 0.5 - base)
-                i0.append(base.astype(jnp.int32))
+            # --- local CIC/TSC into the halo-extended slab --------------
+            from ..cv.mesh import axis_stencil
+            ax = [axis_stencil((r[d].reshape(-1) / box_L[d] + 0.5) * n_d,
+                               order)
+                  for d, n_d in enumerate((nx, ny, nz))]
             rho_e = jnp.zeros((nx_l + 2 * h) * ny * nz, jnp.float32)
             wf = w.reshape(-1)
-            for cx_ in (0, 1):
-                for cy_ in (0, 1):
-                    for cz_ in (0, 1):
-                        ww = (wf * (t[0] if cx_ else 1.0 - t[0])
-                              * (t[1] if cy_ else 1.0 - t[1])
-                              * (t[2] if cz_ else 1.0 - t[2]))
+            for cx_, wx in ax[0][1]:
+                for cy_, wy in ax[1][1]:
+                    for cz_, wz in ax[2][1]:
+                        ww = wf * wx * wy * wz
                         # x: LOCAL extended index — no global mod (a
-                        # seam-drifted particle maps into the halo)
-                        lx = i0[0] + cx_ - x0 + h
-                        iy = jnp.mod(i0[1] + cy_, ny)
-                        iz = jnp.mod(i0[2] + cz_, nz)
+                        # seam-drifted particle maps into the halo; the
+                        # ring halo fold handles the global wrap)
+                        lx = ax[0][0] + cx_ - x0 + h
+                        iy = jnp.mod(ax[1][0] + cy_, ny)
+                        iz = jnp.mod(ax[2][0] + cz_, nz)
                         rho_e = rho_e.at[
                             (lx * ny + iy) * nz + iz].add(
                                 ww, mode="drop")

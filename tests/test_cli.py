@@ -527,9 +527,9 @@ def test_cli_want_lag_gating(capsys):
 
 
 def test_cli_mesh_assign_tsc(tmp_path):
-    """cvs.assign: tsc builds a TSC-window mesh CV (single-chip packed)
-    and is refused — with a clear message — under spatial DD, where the
-    distributed slab FFT's halo folds are CIC-width."""
+    """cvs.assign: tsc builds a TSC-window mesh CV on both the single-chip
+    packed path and the distributed slab FFT (the halo bound covers both
+    windows: each spans at most floor(f)±1 columns)."""
     import pytest as _pytest
     from metadyn_tpu.cli import build_sampler
     cfg = dict(
@@ -552,10 +552,13 @@ def test_cli_mesh_assign_tsc(tmp_path):
     hist = sampler.run(10)
     assert np.isfinite(np.asarray(hist[-1]["cv"])).all()
 
-    bad = dict(cfg)
-    bad["engine"] = {**cfg["engine"], "spatial_devices": 2}
-    with _pytest.raises(ValueError, match="tsc"):
-        build_sampler(bad)
+    dd = dict(cfg)
+    dd["engine"] = {**cfg["engine"], "spatial_devices": 2}
+    sampler_dd, _ = build_sampler(dd)
+    assert sampler_dd.cvs[0].assign_order == 3
+    hist_dd = sampler_dd.run(10)
+    np.testing.assert_allclose(np.asarray(hist_dd[-1]["cv"]),
+                               np.asarray(hist[-1]["cv"]), rtol=1e-3)
     bad2 = dict(cfg)
     bad2["cvs"] = [{**cfg["cvs"][0], "assign": "nearest"}]
     with _pytest.raises(ValueError, match="cic or tsc"):

@@ -237,7 +237,8 @@ def test_sharded_force_with_bonds_matches():
 
 
 @pytest.mark.smoke
-def test_mesh_cv_distributed_fft():
+@pytest.mark.parametrize("order", [2, 3], ids=["cic", "tsc"])
+def test_mesh_cv_distributed_fft(order):
     """The TRUE distributed mesh FFT (VERDICT r2 missing #2): ρ assigned
     locally per x-slab with halo-column folds, slab FFT with an
     all-to-all transpose — value, vjp forces, and k-space virial match
@@ -256,7 +257,8 @@ def test_mesh_cv_distributed_fft():
     spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=24,
                              shift_energy=False)
     k0 = 2.0 * np.pi * 4 / L
-    ref_cv = PackedMesh.create((32, 32, 32), L, n_real=n, k0=k0, width=0.5)
+    ref_cv = PackedMesh.create((32, 32, 32), L, n_real=n, k0=k0, width=0.5,
+                               assign_order=order)
     amps = np.ones(n, np.float32)
     st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
                    jnp.ones(n), jnp.ones(n),
@@ -269,7 +271,8 @@ def test_mesh_cv_distributed_fft():
 
     mesh = Mesh(np.asarray(jax.devices()[:8]), ("space",))
     dd_cv = ShardedPackedMesh.create((32, 32, 32), spec, mesh, n_real=n,
-                                     k0=k0, width=0.5, box_L=L)
+                                     k0=k0, width=0.5, box_L=L,
+                                     assign_order=order)
 
     v_ref = float(ref_cv.value(st, system))
     val_fn = jax.jit(lambda s: dd_cv.value(s, system))
