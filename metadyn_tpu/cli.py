@@ -406,13 +406,18 @@ def build_sampler(cfg: dict, resume: bool = False):
                     raise ValueError(
                         f"{n_walkers} walkers x {sp_dev} spatial shards "
                         f"need {need} devices, have {len(devs)}")
-                bad_kinds = {c["kind"] for c in cvs_cfg} - {"lamellar",
-                                                            "msd"}
+                # lamellar/msd reductions and the roll-sweep order CVs
+                # all run inside the walkers-manual region with "space"
+                # left to GSPMD (tests/test_spatial.py::
+                # test_order_cvs_on_product_mesh); the mesh CV's slab FFT
+                # islands don't nest under the walker axis yet
+                bad_kinds = {c["kind"] for c in cvs_cfg} - {
+                    "lamellar", "msd", "steinhardt", "q6", "coordination"}
                 if bad_kinds:
                     raise ValueError(
                         f"cv kinds {sorted(bad_kinds)} are not supported "
                         "on a walkers x space product mesh yet (use "
-                        "lamellar/msd)")
+                        "lamellar/msd/steinhardt/coordination)")
                 wmesh = _JaxMesh(
                     np.asarray(devs[:need]).reshape(n_walkers, sp_dev),
                     ("walkers", "space"))

@@ -473,6 +473,18 @@ def test_cli_walkers_times_spatial(tmp_path):
     assert int(sampler.bias.n_hills) == 4          # 2 strides x 2 walkers
     assert len(open(tmp_path / "HILLS").readlines()) >= 5  # header + 4
 
+    # order CVs build on the product mesh too (round-4: the roll-sweep
+    # CVs run under the walker-manual region with "space" on GSPMD)
+    q6 = dict(cfg)
+    # r_cut must reach the sc nearest neighbors (spacing 2.4) or Q6=0/0
+    q6["cvs"] = [{"name": "q6", "kind": "steinhardt", "r_cut": 2.6,
+                  "grid": {"min": 0.0, "max": 0.7, "num_points": 31,
+                           "sigma": 0.02}}]
+    q6["output"] = {"hill_file": str(tmp_path / "HILLS_q6")}
+    s_q6, _ = build_sampler(q6)
+    h_q6 = s_q6.run(10)
+    assert np.isfinite(np.asarray(h_q6[-1]["cv"])).all()
+
     # unsupported CV kinds on the product mesh fail loudly
     import pytest as _pytest
     bad = dict(cfg)

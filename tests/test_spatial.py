@@ -567,3 +567,81 @@ def test_product_mesh_trajectory_oracle_always_repack():
     order_2 = np.argsort(pid_2)[:n]
     np.testing.assert_allclose(p_2[:, order_2], p_ref[:, order_ref],
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.smoke
+def test_order_cvs_on_product_mesh():
+    """Order CVs (Q6 + coordination) on the walkers x space product mesh:
+    the roll-sweep CVs run inside the walkers-manual region with "space"
+    left to GSPMD (exactly the space-only mechanism of
+    test_order_cvs_under_spatial_dd) — the shared bias grid and the CV
+    trajectories match the walkers-only run to f32 reduction-order noise
+    (the per-shard partial sums reassociate the CV reductions, so unlike
+    the lamellar product-mesh test this is allclose, not bitwise)."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.walkers import WalkerSampler
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed_order import (PackedSteinhardtQl,
+                                             PackedCoordination)
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    a_lat = 1.62
+    pos0 = fcc_lattice(8, a_lat)        # cx = 4 cells: divisible by 2
+    n = pos0.shape[0]
+    L = 8 * a_lat
+    rng = np.random.default_rng(3)
+    pos = (pos0 + rng.normal(0, 0.05, pos0.shape)).astype(np.float32)
+    box = Box.cubic(L)
+    system = make_system(n)
+    nn = a_lat / np.sqrt(2)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False)
+    grid = GridSpec.create([0.0, 4.0], [0.7, 28.0], [32, 32], [0.02, 0.5])
+
+    def make_cvs():
+        return [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6,
+                                   name="q6"),
+                PackedCoordination(spec=spec, r0=nn * 1.35,
+                                   r_cut=nn * 1.35 * 1.5, name="co")]
+
+    def pack_one(engine, w):
+        r = np.random.default_rng(100 + w)
+        vel = r.normal(0, 1.0, (n, 3)).astype(np.float32)
+        vel -= vel.mean(axis=0)
+        st, ovf = engine.pack_state(pos, box, np.zeros(n, np.int32),
+                                    eps_i=np.ones(n, np.float32),
+                                    sigma_i=np.ones(n, np.float32), vel=vel)
+        assert not bool(ovf)
+        return st
+
+    def build(engine, mesh):
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[pack_one(engine, w) for w in range(2)])
+        return WalkerSampler(
+            system, states, engine, cvs=make_cvs(), grid_spec=grid,
+            hills=HillSpec.create(W=0.4, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.001, kT=0.7, gamma=1.0),
+            seed=0, chunks_per_block=1, mesh=mesh)
+
+    devs = np.asarray(jax.devices())
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False),
+                  Mesh(devs[:2], ("walkers",)))
+    h_ref = s_ref.run(50)
+    mesh2 = Mesh(devs[:4].reshape(2, 2), ("walkers", "space"))
+    s2 = build(SpatialPackedEngine(spec, mesh2, rebuild_every=5,
+                                   nested=True), mesh2)
+    h2 = s2.run(50)
+
+    assert int(s2.bias.n_hills) == int(s_ref.bias.n_hills) == 4
+    np.testing.assert_allclose(np.asarray(s2.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(h2[-1]["cv"]),
+                               np.asarray(h_ref[-1]["cv"]),
+                               rtol=5e-4, atol=1e-5)
+    assert not np.any(np.asarray(h2[-1]["nlist_overflow"]))
