@@ -370,6 +370,10 @@ def build_sampler(cfg: dict, resume: bool = False):
                 raise ValueError(
                     "walkers x 2-D-space product meshes are not "
                     "supported yet (use the 1-D slab decomposition)")
+            if icfg.get("kind") == "npt_scr":
+                raise ValueError(
+                    "npt_scr under the 2-D decomposition is untested; "
+                    "use the 1-D slab decomposition")
             bad = {c["kind"] for c in cvs_cfg} - {
                 "lamellar", "msd", "steinhardt", "q6", "coordination"}
             if bad:
@@ -390,11 +394,13 @@ def build_sampler(cfg: dict, resume: bool = False):
                 raise ValueError(
                     f"engine.spatial_devices={sp_dev} but only "
                     f"{len(devs)} devices are visible")
-            if icfg.get("kind") == "npt_scr" or any(
-                    c["kind"] == "wte" for c in cvs_cfg):
+            want_energy = (icfg.get("kind") == "npt_scr"
+                           or any(c["kind"] == "wte" for c in cvs_cfg)
+                           or bool(eng_cfg.get("with_energy", False)))
+            if want_energy and n_walkers > 1:
                 raise ValueError(
                     "npt_scr / wte need the with_energy engine mode, which "
-                    "is not supported with engine.spatial_devices yet")
+                    "is not supported on a walkers x space product mesh yet")
             if n_walkers > 1:
                 # product mesh: n_walkers partitions, each domain-
                 # decomposed over spatial_devices shards — the reference's
@@ -428,7 +434,8 @@ def build_sampler(cfg: dict, resume: bool = False):
                 smesh = _JaxMesh(np.asarray(devs[:sp_dev]), ("space",))
                 engine = SpatialPackedEngine(
                     spec, smesh,
-                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
+                    with_energy=want_energy)
         else:
             engine = PackedEngine(
                 spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),

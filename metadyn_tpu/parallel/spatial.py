@@ -463,7 +463,8 @@ class SpatialPackedEngine(PackedEngine):
                  rebuild_every: int = 1, mass: float = 1.0,
                  nested: bool = False, walker_axis: str = "walkers",
                  pair_pallas: Optional[bool] = None,
-                 always_repack: bool = False):
+                 always_repack: bool = False,
+                 with_energy: bool = False):
         """``nested=True`` builds the halo islands for use inside an
         enclosing shard_map over ``walker_axis`` of ``mesh`` (the
         reference's ``mpirun -n W*S --nrank W`` — walker partitions each
@@ -477,7 +478,14 @@ class SpatialPackedEngine(PackedEngine):
         closes most of the 2.9× DD tax measured in round 4.  Energy/
         virial refreshes and the CV sweeps stay on the GSPMD XLA path
         (``self.use_pallas`` remains False for the order-CV kernels,
-        which are not shard-local)."""
+        which are not shard-local).
+
+        ``with_energy=True`` keeps EVERY force call on the XLA sharded
+        path, whose interior-masked energy/virial psum runs per call —
+        the spatial analog of ``PackedEngine(with_energy=True)``,
+        required by SCR-NPT (reads state.virial per step) and the WTE
+        energy CV.  It forces ``pair_pallas`` off (the Pallas inner
+        kernel is forces-only)."""
         super().__init__(spec, rebuild_every=rebuild_every,
                          use_pallas=False, mass=mass,
                          always_repack=always_repack)
@@ -488,6 +496,8 @@ class SpatialPackedEngine(PackedEngine):
         if pair_pallas is None:
             pair_pallas = (jax.default_backend() == "tpu" and not nested
                            and spec.pair_kind == "lj")
+        if with_energy:
+            pair_pallas = False
         self.pair_pallas = pair_pallas
         sharded_force = make_sharded_lj_force(spec, mesh, axis,
                                               nested=nested,

@@ -575,3 +575,37 @@ def test_cli_mesh_assign_tsc(tmp_path):
     bad2["cvs"] = [{**cfg["cvs"][0], "assign": "nearest"}]
     with _pytest.raises(ValueError, match="cic or tsc"):
         build_sampler(bad2)
+
+
+def test_cli_npt_wte_under_spatial_dd(tmp_path):
+    """integrator npt_scr + a wte CV together with engine.spatial_devices
+    builds the with_energy sharded engine from YAML (round 4 — the old
+    CLI refused this combination outright)."""
+    from metadyn_tpu.cli import build_sampler
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    cfg = dict(
+        system={"init": {"kind": "sc", "n_per_side": 6, "spacing": 1.6},
+                "kT": 1.2},
+        engine={"kind": "packed", "spatial_devices": 2, "skin": 0.4,
+                "rebuild_every": 2, "cap": 24,
+                "pair": {"kind": "lj", "r_cut": 2.0}},
+        integrator={"kind": "npt_scr", "dt": 0.002, "gamma": 2.0,
+                    "pressure": 1.0, "tau_p": 1.0},
+        cvs=[{"name": "u", "kind": "wte",
+              "grid": {"min": -8000.0, "max": 0.0, "num_points": 81,
+                       "sigma": 100.0}}],
+        metadynamics={"W": 2.0, "stride": 10, "mode": "well_tempered",
+                      "deltaT": 20.0},
+        run={"n_steps": 20, "report_every": 20},
+        chunks_per_block=1,
+        output={"hill_file": str(tmp_path / "HILLS")})
+    sampler, _ = build_sampler(cfg)
+    assert isinstance(sampler.engine, SpatialPackedEngine)
+    assert not sampler.engine.pair_pallas
+    hist = sampler.run(20)
+    m = hist[-1]
+    assert np.isfinite(np.asarray(m["cv"])).all()
+    assert not np.any(np.asarray(m["nlist_overflow"]))
+    assert int(sampler.bias.n_hills) == 2
+    L3 = np.asarray(sampler.state.box.L)
+    assert np.all(np.isfinite(L3)) and np.all(L3 > 0)

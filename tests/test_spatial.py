@@ -645,3 +645,75 @@ def test_order_cvs_on_product_mesh():
                                np.asarray(h_ref[-1]["cv"]),
                                rtol=5e-4, atol=1e-5)
     assert not np.any(np.asarray(h2[-1]["nlist_overflow"]))
+
+
+@pytest.mark.smoke
+def test_npt_wte_under_spatial_dd():
+    """SCR-NPT + the WTE energy CV under the "space" axis (round 4: the
+    with_energy engine mode on the sharded engine — the XLA halo force's
+    interior-masked energy/virial psum runs every step, so the barostat
+    reads a live virial and PotentialEnergyCV a live energy).  Matches
+    the single-device PackedEngine(with_energy=True) trajectory to f32
+    reduction-order noise."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.ops.packed import unpack_positions
+    from metadyn_tpu.integrate.packed import make_packed_npt_scr_step
+    from metadyn_tpu.cv.simple import PotentialEnergyCV
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    kT, P = 1.2, 1.0
+    a = 1.6
+    pos = fcc_lattice(6, a)           # L = 9.6: cx = 4 cells over 2 shards
+    n = pos.shape[0]
+    L = 6 * a
+    rng = np.random.default_rng(4)
+    vel = rng.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.3, cap=24)
+
+    def build(engine):
+        state, ovf = engine.pack_state(
+            pos, Box.cubic(L), jnp.zeros(n, jnp.int32), eps_i=jnp.ones(n),
+            sigma_i=jnp.ones(n), vel=jnp.asarray(vel))
+        assert not bool(ovf)
+        return MetadSampler(
+            make_system(n), state, engine, cvs=[PotentialEnergyCV()],
+            grid_spec=GridSpec.create([-8000.0], [0.0], [81], [100.0]),
+            hills=HillSpec.create(W=2.0, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=20.0),
+            integrator_factory=lambda f: make_packed_npt_scr_step(
+                f, spec, dt=0.002, kT=kT, pressure=P, gamma=2.0,
+                tau_p=1.0),
+            seed=0, chunks_per_block=2)
+
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False,
+                               with_energy=True))
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    s_dd = build(SpatialPackedEngine(spec, mesh, rebuild_every=5,
+                                     with_energy=True))
+    assert not s_dd.engine.pair_pallas
+
+    h_ref = s_ref.run(100)
+    h_dd = s_dd.run(100)
+    m_ref, m_dd = h_ref[-1], h_dd[-1]
+    assert not bool(m_dd["nlist_overflow"])
+    assert int(s_dd.bias.n_hills) == int(s_ref.bias.n_hills) == 4
+    np.testing.assert_allclose(np.asarray(s_dd.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V),
+                               rtol=1e-4, atol=1e-4)
+    # the box breathes, identically
+    np.testing.assert_allclose(np.asarray(s_dd.state.box.L),
+                               np.asarray(s_ref.state.box.L), rtol=1e-4)
+    assert abs(float(s_dd.state.box.L[0]) - L) > 1e-3
+    p_ref = np.asarray(unpack_positions(s_ref.state, spec))
+    p_dd = np.asarray(unpack_positions(s_dd.state, spec))
+    np.testing.assert_allclose(p_dd, p_ref, rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(float(m_dd["potential_energy"]),
+                               float(m_ref["potential_energy"]), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(m_dd["cv"]),
+                               np.asarray(m_ref["cv"]), rtol=1e-4)
