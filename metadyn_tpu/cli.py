@@ -370,12 +370,13 @@ def build_sampler(cfg: dict, resume: bool = False):
                 raise ValueError(
                     "walkers x 2-D-space product meshes are not "
                     "supported yet (use the 1-D slab decomposition)")
-            if icfg.get("kind") == "npt_scr":
-                raise ValueError(
-                    "npt_scr under the 2-D decomposition is untested; "
-                    "use the 1-D slab decomposition")
+            # npt_scr/wte work here without a flag: the 2-D halo force
+            # always psum-reduces interior-masked energy + per-axis
+            # virial (tests/test_spatial2d.py::
+            # test_2d_npt_wte_matches_single_device)
             bad = {c["kind"] for c in cvs_cfg} - {
-                "lamellar", "msd", "steinhardt", "q6", "coordination"}
+                "lamellar", "msd", "steinhardt", "q6", "coordination",
+                "wte"}
             if bad:
                 raise ValueError(
                     f"cv kinds {sorted(bad)} are not supported under the "

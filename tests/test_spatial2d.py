@@ -182,6 +182,19 @@ def test_cli_spatial_devices_2d(tmp_path):
     assert not bool(h[-1]["nlist_overflow"])
     assert int(sampler.bias.n_hills) == 2
 
+    # npt_scr + wte build on the 2-D mesh too (round 4)
+    npt = dict(cfg)
+    npt["integrator"] = {"kind": "npt_scr", "dt": 0.002, "gamma": 2.0,
+                         "pressure": 1.0, "tau_p": 1.0}
+    npt["cvs"] = [{"name": "u", "kind": "wte",
+                   "grid": {"min": -4000.0, "max": 0.0, "num_points": 41,
+                            "sigma": 100.0}}]
+    s_npt, _ = build_sampler(npt)
+    h_npt = s_npt.run(10)
+    assert np.isfinite(np.asarray(h_npt[-1]["cv"])).all()
+    L3 = np.asarray(s_npt.state.box.L)
+    assert np.all(np.isfinite(L3)) and np.all(L3 > 0)
+
     # unsupported combos fail loudly before any compile
     bad = dict(cfg)
     bad["cvs"] = [{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8],
@@ -190,3 +203,65 @@ def test_cli_spatial_devices_2d(tmp_path):
                             "sigma": 7.5}}]
     with pytest.raises(ValueError, match="2-D decomposition"):
         build_sampler(bad)
+
+
+@pytest.mark.smoke
+def test_2d_npt_wte_matches_single_device():
+    """SCR-NPT + the WTE energy CV on the 2-D (spacex, spacey) mesh: the
+    2-D halo force already psum-reduces the interior-masked energy and
+    per-axis virial every call, so the barostat and PotentialEnergyCV
+    see live values — matches the single-device
+    PackedEngine(with_energy=True) trajectory (cf. the 1-D twin,
+    test_spatial.py::test_npt_wte_under_spatial_dd)."""
+    from metadyn_tpu.integrate.packed import make_packed_npt_scr_step
+    from metadyn_tpu.cv.simple import PotentialEnergyCV
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    kT, P = 1.2, 1.0
+    a = 1.6
+    pos = fcc_lattice(6, a)        # L = 9.6: 4 cells per axis on the 2x2
+    n = pos.shape[0]
+    L = 6 * a
+    rng = np.random.default_rng(4)
+    vel = rng.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.3, cap=24)
+
+    def build(engine):
+        state, ovf = engine.pack_state(
+            pos, Box.cubic(L), jnp.zeros(n, jnp.int32), eps_i=jnp.ones(n),
+            sigma_i=jnp.ones(n), vel=jnp.asarray(vel))
+        assert not bool(ovf)
+        return MetadSampler(
+            make_system(n), state, engine, cvs=[PotentialEnergyCV()],
+            grid_spec=GridSpec.create([-8000.0], [0.0], [81], [100.0]),
+            hills=HillSpec.create(W=2.0, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=20.0),
+            integrator_factory=lambda f: make_packed_npt_scr_step(
+                f, spec, dt=0.002, kT=kT, pressure=P, gamma=2.0,
+                tau_p=1.0),
+            seed=0, chunks_per_block=2)
+
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False,
+                               with_energy=True))
+    s_dd = build(SpatialPackedEngine2D(spec, _mesh2d(), rebuild_every=5))
+
+    h_ref = s_ref.run(100)
+    h_dd = s_dd.run(100)
+    m_ref, m_dd = h_ref[-1], h_dd[-1]
+    assert not bool(m_dd["nlist_overflow"])
+    assert int(s_dd.bias.n_hills) == int(s_ref.bias.n_hills) == 4
+    np.testing.assert_allclose(np.asarray(s_dd.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_dd.state.box.L),
+                               np.asarray(s_ref.state.box.L), rtol=1e-4)
+    assert abs(float(s_dd.state.box.L[0]) - L) > 1e-3
+    p_ref = np.asarray(unpack_positions(s_ref.state, spec))
+    p_dd = np.asarray(unpack_positions(s_dd.state, spec))
+    np.testing.assert_allclose(p_dd, p_ref, rtol=1e-4, atol=5e-3)
+    np.testing.assert_allclose(float(m_dd["potential_energy"]),
+                               float(m_ref["potential_energy"]), rtol=1e-4)
