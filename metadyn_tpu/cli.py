@@ -70,14 +70,15 @@ def _build_particle_cvs(cvs_cfg, system, L, pos):
 
 
 def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
-                      smesh=None, box_L=None):
+                      smesh=None, box_L=None, smesh2d=None):
     """Packed CV zoo: lamellar, mesh, steinhardt/q6, coordination, msd.
 
     With ``smesh`` (a ``"space"``-axis device mesh from
     ``engine.spatial_devices``), the mesh CV becomes the distributed
-    slab-FFT ``ShardedPackedMesh``; lamellar/msd reductions are GSPMD-
-    sharded by XLA unchanged.  The order CVs (Pallas sweeps) are not
-    supported under spatial DD yet — they raise.
+    slab-FFT ``ShardedPackedMesh``; with ``smesh2d`` (a
+    ``("spacex", "spacey")`` mesh from a 2-element ``spatial_devices``)
+    it becomes the pencil-FFT ``ShardedPackedMesh2D``.  lamellar/msd and
+    the roll-sweep order CVs are GSPMD-sharded by XLA unchanged.
     """
     from .cv.packed import PackedLamellar, PackedMesh, PackedMSD, \
         msd_reference_attrs
@@ -96,6 +97,12 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
                 from .parallel.mesh import ShardedPackedMesh
                 cv = ShardedPackedMesh.create(
                     tuple(c["mesh"]), spec, smesh, n_real=n, k0=c["k0"],
+                    width=c.get("width", 0.5), box_L=box_L, name=c["name"],
+                    assign_order=_assign_order(c))
+            elif smesh2d is not None:
+                from .parallel.mesh2d import ShardedPackedMesh2D
+                cv = ShardedPackedMesh2D.create(
+                    tuple(c["mesh"]), spec, smesh2d, n_real=n, k0=c["k0"],
                     width=c.get("width", 0.5), box_L=box_L, name=c["name"],
                     assign_order=_assign_order(c))
             else:
@@ -356,6 +363,7 @@ def build_sampler(cfg: dict, resume: bool = False):
         sp_raw = eng_cfg.get("spatial_devices", 1) or 1
         sp_dev = 1 if isinstance(sp_raw, (list, tuple)) else int(sp_raw)
         smesh = None
+        smesh2d = None
         if isinstance(sp_raw, (list, tuple)):
             nx, ny = int(sp_raw[0]), int(sp_raw[1])
             from jax.sharding import Mesh as _JaxMesh
@@ -376,14 +384,14 @@ def build_sampler(cfg: dict, resume: bool = False):
             # test_2d_npt_wte_matches_single_device)
             bad = {c["kind"] for c in cvs_cfg} - {
                 "lamellar", "msd", "steinhardt", "q6", "coordination",
-                "wte"}
+                "wte", "mesh"}
             if bad:
                 raise ValueError(
                     f"cv kinds {sorted(bad)} are not supported under the "
-                    "2-D decomposition yet (mesh CV needs the 1-D slab "
-                    "FFT)")
+                    "2-D decomposition yet")
             m2d = _JaxMesh(np.asarray(devs[:need]).reshape(nx, ny),
                            ("spacex", "spacey"))
+            smesh2d = m2d
             engine = SpatialPackedEngine2D(
                 spec, m2d,
                 rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
@@ -445,7 +453,8 @@ def build_sampler(cfg: dict, resume: bool = False):
                              or any(c["kind"] == "wte" for c in cvs_cfg)
                              or bool(eng_cfg.get("with_energy", False))))
         cvs, extra_attrs = _build_packed_cvs(cvs_cfg, spec, n, types, pos,
-                                             system, smesh=smesh, box_L=L)
+                                             system, smesh=smesh, box_L=L,
+                                             smesh2d=smesh2d)
         if fene is not None:
             assert bonds is not None, "fene engine config needs melt init"
             extra_attrs.update(bond_partner_attrs(bonds, n))

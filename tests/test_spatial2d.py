@@ -195,12 +195,23 @@ def test_cli_spatial_devices_2d(tmp_path):
     L3 = np.asarray(s_npt.state.box.L)
     assert np.all(np.isfinite(L3)) and np.all(L3 > 0)
 
+    # the mesh CV builds as the pencil-FFT ShardedPackedMesh2D (round 4)
+    from metadyn_tpu.parallel.mesh2d import ShardedPackedMesh2D
+    mk = dict(cfg)
+    mk["cvs"] = [{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8],
+                  "k0": 1.57, "width": 0.5, "mode": [1.0],
+                  "grid": {"min": 0.0, "max": 300.0, "num_points": 31,
+                           "sigma": 15.0}}]
+    s_mesh, _ = build_sampler(mk)
+    assert isinstance(s_mesh.cvs[0], ShardedPackedMesh2D)
+    h_mesh = s_mesh.run(10)
+    assert np.isfinite(np.asarray(h_mesh[-1]["cv"])).all()
+
     # unsupported combos fail loudly before any compile
     bad = dict(cfg)
-    bad["cvs"] = [{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8],
-                   "k0": 1.57, "width": 0.5, "mode": [1.0],
-                   "grid": {"min": 0.0, "max": 150.0, "num_points": 31,
-                            "sigma": 7.5}}]
+    bad["cvs"] = [{"name": "ar", "kind": "aspect_ratio",
+                   "grid": {"min": 0.6, "max": 1.6, "num_points": 31,
+                            "sigma": 0.03}}]
     with pytest.raises(ValueError, match="2-D decomposition"):
         build_sampler(bad)
 
@@ -265,3 +276,63 @@ def test_2d_npt_wte_matches_single_device():
     np.testing.assert_allclose(p_dd, p_ref, rtol=1e-4, atol=5e-3)
     np.testing.assert_allclose(float(m_dd["potential_energy"]),
                                float(m_ref["potential_energy"]), rtol=1e-4)
+
+
+@pytest.mark.parametrize("order", [2, 3], ids=["cic", "tsc"])
+def test_mesh_cv_pencil_fft(order):
+    """The pencil-decomposed mesh FFT (parallel/mesh2d): ρ assigned
+    locally per (x, y) block with two-hop halo-shell folds, pencil FFT
+    with two all-to-all transposes — value, vjp forces, and k-space
+    virial match the single-device PackedMesh, and the HLO proves the
+    mesh is genuinely partitioned (pencil-shaped FFTs + two all-to-all
+    collectives), for both assignment windows."""
+    from metadyn_tpu.cv.packed import PackedMesh
+    from metadyn_tpu.parallel.mesh2d import ShardedPackedMesh2D
+    from metadyn_tpu.ops.packed import pack
+
+    L = 4 * 3.0
+    n = 1500
+    rng = np.random.default_rng(11)
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    box = Box.cubic(L)
+    system = make_system(n)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False)
+    k0 = 2.0 * np.pi * 3 / L
+    ref_cv = PackedMesh.create((32, 32, 32), L, n_real=n, k0=k0, width=0.5,
+                               assign_order=order)
+    amps = np.ones(n, np.float32)
+    st, ovf = pack(pos, box, spec, jnp.zeros(n, jnp.int32),
+                   jnp.ones(n), jnp.ones(n),
+                   extra_attrs={ref_cv.attr_name: amps})
+    assert not bool(ovf)
+    # drift particles a little so the halo shells (incl. corners) carry
+    disp = jnp.asarray(rng.uniform(-0.2, 0.2, (3, st.n_pad)), jnp.float32)
+    st = st.replace(r=jnp.where((st.pid < n)[None, :], st.r + disp, st.r))
+
+    dd_cv = ShardedPackedMesh2D.create((32, 32, 32), spec, _mesh2d(),
+                                       n_real=n, k0=k0, width=0.5, box_L=L,
+                                       assign_order=order)
+
+    v_ref = float(ref_cv.value(st, system))
+    val_fn = jax.jit(lambda s: dd_cv.value(s, system))
+    v_dd = float(val_fn(st))
+    np.testing.assert_allclose(v_dd, v_ref, rtol=2e-4)
+
+    g_ref = jax.grad(lambda r: ref_cv.value(st.replace(r=r), system))(st.r)
+    g_dd = jax.jit(jax.grad(
+        lambda r: dd_cv.value(st.replace(r=r), system)))(st.r)
+    np.testing.assert_allclose(np.asarray(g_dd), np.asarray(g_ref),
+                               rtol=2e-2, atol=1e-5)
+
+    w_ref = np.asarray(ref_cv.bias_virial(st, system, jnp.float32(1.3)))
+    w_dd = np.asarray(jax.jit(
+        lambda s: dd_cv.bias_virial(s, system, jnp.float32(1.3)))(st))
+    np.testing.assert_allclose(w_dd, w_ref, rtol=2e-4, atol=1e-6)
+
+    # sharding introspection: pencil-local FFT shapes (16x16x32 z-pencil,
+    # not 32^3) and TWO all-to-all transposes
+    hlo = val_fn.lower(st).as_text()
+    assert hlo.count("all-to-all") >= 2 or hlo.count("all_to_all") >= 2
+    assert "manual_computation" in hlo
+    assert "16x16x32" in hlo, "FFT operates on the full mesh, not a pencil"
