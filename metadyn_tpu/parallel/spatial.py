@@ -177,8 +177,8 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     interior = jnp.asarray(interior.reshape(-1))
     attr_names = _force_attr_names(spec)
 
-    def local_force(r, pid, attrs, box_L, shard_ix):
-        """Per-device body: r (3, cap, C_l), pid (cap, C_l) i32,
+    def local_force(r, pid, typ, attrs, box_L, shard_ix):
+        """Per-device body: r (3, cap, C_l), pid/typ (cap, C_l) i32,
         attrs dict of (cap, C_l)."""
         # shard index arrives as a P(axis)-sharded iota rather than
         # jax.lax.axis_index: axis_index's partition-id lowering breaks
@@ -186,8 +186,11 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
         idx = shard_ix[0]
         Lx = box_L[0]
 
-        # one stacked halo exchange for all columns
+        # one stacked halo exchange for all columns (typ rides along when
+        # a per-type-pair table indexes it in the kernel — a ghost with
+        # typ=0 would silently read row 0 of the ε/σ tables otherwise)
         cols = [r[d] for d in range(3)] + [pid.astype(jnp.float32)] \
+            + [typ.astype(jnp.float32)] \
             + [attrs[k] for k in attr_names]
         v4 = [c.reshape(cap, cx_l, plane) for c in cols]
         lo = jnp.stack([c[:, 0] for c in v4])        # (W, cap, plane)
@@ -202,7 +205,8 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
 
         r_ext = jnp.stack(ext[0:3])
         pid_ext = ext[3].astype(jnp.int32)
-        attrs_ext = dict(zip(attr_names, ext[4:]))
+        typ_ext = ext[4].astype(jnp.int32)
+        attrs_ext = dict(zip(attr_names, ext[5:]))
         npad_ext = cap * (cx_l + 2) * plane
         st_ext = PackedState(
             r=r_ext.reshape(3, -1), v=jnp.zeros((3, npad_ext)),
@@ -210,7 +214,7 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
             image=jnp.zeros((3, npad_ext), jnp.int32),
             ref_r=r_ext.reshape(3, -1),
             pid=pid_ext.reshape(-1),
-            typ=jnp.zeros(npad_ext, jnp.int32),
+            typ=typ_ext.reshape(-1),
             slot_of=jnp.zeros(1, jnp.int32),
             attrs={k: v.reshape(-1) for k, v in attrs_ext.items()},
             box=Box(L=box_L),
@@ -233,7 +237,7 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     # the (cap, C) VIEW along C (contiguous chunks of C are x-slabs)
     sharded = _shard_map(
         local_force, None if nested else mesh,
-        in_specs=(P(None, None, axis), P(None, axis),
+        in_specs=(P(None, None, axis), P(None, axis), P(None, axis),
                   {k: P(None, axis) for k in attr_names}, P(), P(axis)),
         out_specs=(P(None, None, axis), P(), P()),
         axis_names=(axis,) if nested else None,
@@ -248,6 +252,7 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
             "decompositions similarly)")
         f, e, w = sharded(state.r.reshape(3, cap, C),
                           state.pid.reshape(cap, C),
+                          state.typ.reshape(cap, C),
                           {k: state.attrs[k].reshape(cap, C)
                            for k in attr_names},
                           state.box.L, shard_iota)

@@ -137,10 +137,13 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
                                jnp.where(at_hi, -1.0, 0.0))
         return jnp.concatenate([lh, v, rh], axis=3)
 
-    def local_force(r, pid, attrs, box_L, six, siy):
+    def local_force(r, pid, typ, attrs, box_L, six, siy):
         ix = six[0]
         iy = siy[0]
+        # typ rides the halo exchange when a per-type-pair table indexes
+        # it in the kernel (a typ=0 ghost would read table row 0)
         cols = [r[d] for d in range(3)] + [pid.astype(jnp.float32)] \
+            + [typ.astype(jnp.float32)] \
             + [attrs[k] for k in attr_names]
         v = jnp.stack([c.reshape(cap, cx_l, cy_l, cz) for c in cols])
         ext = extend(v, box_L, ix, iy, x_comp=0, y_comp=1)
@@ -154,9 +157,9 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
             image=jnp.zeros((3, npad_ext), jnp.int32),
             ref_r=r_ext,
             pid=flat[3].astype(jnp.int32),
-            typ=jnp.zeros(npad_ext, jnp.int32),
+            typ=flat[4].astype(jnp.int32),
             slot_of=jnp.zeros(1, jnp.int32),
-            attrs=dict(zip(attr_names, flat[4:])),
+            attrs=dict(zip(attr_names, flat[5:])),
             box=Box(L=box_L),
             potential_energy=jnp.float32(0.0),
             virial=jnp.zeros(3, jnp.float32))
@@ -169,6 +172,7 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
     sharded = _shard_map(
         local_force, mesh,
         in_specs=(P(None, None, ax, ay, None), P(None, ax, ay, None),
+                  P(None, ax, ay, None),
                   {k: P(None, ax, ay, None) for k in attr_names},
                   P(), P(ax), P(ay)),
         out_specs=(P(None, None, ax, ay, None), P(), P()),
@@ -181,6 +185,7 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
         f, e, w = sharded(
             state.r.reshape(3, cap, cx, cy, cz),
             state.pid.reshape(cap, cx, cy, cz),
+            state.typ.reshape(cap, cx, cy, cz),
             {k: state.attrs[k].reshape(cap, cx, cy, cz)
              for k in attr_names},
             state.box.L, iota_x, iota_y)

@@ -157,3 +157,56 @@ def test_eps_table_favors_demixing():
 
     e_sep, e_mix = energy(t_sep), energy(t_mix)
     assert e_sep < e_mix, (e_sep, e_mix)
+
+
+@pytest.mark.parametrize("dd", ["1d", "2d"])
+def test_pair_tables_under_spatial_dd(dd):
+    """Per-type-pair tables under spatial DD: the ghost exchange must
+    carry ``typ`` (round-4 fix: the halo-extended state used to zero it,
+    so every cross-type table lookup at a shard boundary silently read
+    row 0 — wrong ε/σ for a demixing melt).  Force/energy/virial parity
+    vs the single-device table engine on both decompositions."""
+    from jax.sharding import Mesh
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.spatial2d import SpatialPackedEngine2D
+
+    rng = np.random.default_rng(3)
+    n = 500
+    L = 12.0                     # 4 cells per axis at r_list 3.0
+    pos = rng.uniform(-L / 2, L / 2, (n, 3)).astype(np.float32)
+    types = rng.integers(0, 2, n).astype(np.int32)
+    es, ss, ed, sd = pair_scale_tables(EPS_T, SIG_T)
+    spec = PackedSpec.create(
+        L, n, r_cut=2.5, skin=0.5, cap=40, eps_scale=es, sigma_scale=ss)
+    eps_i = jnp.asarray(ed[types])
+    sigma_i = jnp.asarray(sd[types])
+
+    def pack_into(engine):
+        st, ovf = engine.pack_state(pos, Box.cubic(L), jnp.asarray(types),
+                                    eps_i=eps_i, sigma_i=sigma_i)
+        assert not bool(ovf)
+        return st
+
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    ref_eng = PackedEngine(spec, use_pallas=False, with_energy=True)
+    st_ref = pack_into(ref_eng)
+    ref = ref_eng._force_e(st_ref, spec)
+
+    if dd == "1d":
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+        eng = SpatialPackedEngine(spec, mesh, with_energy=True)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    ("spacex", "spacey"))
+        eng = SpatialPackedEngine2D(spec, mesh)
+    st = pack_into(eng)
+    out = jax.jit(lambda s: eng._force(s, spec))(st)
+
+    np.testing.assert_allclose(float(out.potential_energy),
+                               float(ref.potential_energy), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.virial),
+                               np.asarray(ref.virial), rtol=1e-4)
+    f_dd = np.asarray(out.f[:, st.slot_of].T)
+    f_ref = np.asarray(ref.f[:, st_ref.slot_of].T)
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(f_dd, f_ref, atol=2e-4 * scale)
