@@ -142,6 +142,13 @@ def _kernel(xi, yi, zi, auxl, xj, yj, zj,
                 fjx[0, j0 + k, :] = -wj * jnp.sum(tx, axis=0)
                 fjy[0, j0 + k, :] = -wj * jnp.sum(ty, axis=0)
                 fjz[0, j0 + k, :] = -wj * jnp.sum(tz, axis=0)
+            else:
+                # debug/timing mode without "lj": the j-side outputs must
+                # still be initialized or rollback() folds VMEM garbage
+                zr = jnp.zeros_like(x_i[0])
+                fjx[0, j0 + k, :] = zr
+                fjy[0, j0 + k, :] = zr
+                fjz[0, j0 + k, :] = zr
             # --- CV geometry ---
             r2s = jnp.where(nonself, r2, 1.0)
             inv_r = jax.lax.rsqrt(r2s)
