@@ -56,7 +56,7 @@ class FluxTemperedSampler:
         bias_every: int = 1,
         mesh=None,
         walker_axis: str = "walkers",
-        min_round_trips: int = 0,
+        min_round_trips: int = 1,
         max_defer_periods: int = 4,
     ):
         """``bias_every`` > 1 is the same bias-force multiple-time-stepping
@@ -83,7 +83,10 @@ class FluxTemperedSampler:
         — histograms keep accumulating — until the pooled round-trip
         diagnostic reaches the threshold, with ``max_defer_periods`` as
         the cap (a hard-trapped walker still updates eventually, so the
-        bias can grow and free it)."""
+        bias can grow and free it).  The gate defaults ON
+        (``min_round_trips=1``) so the reference's "after equilibration
+        criterion" contract is the out-of-the-box behavior; pass 0 for
+        the ungated legacy cadence."""
         assert grid_spec.ndim == 1 and len(cvs) == 1, \
             "flux-tempered metadynamics supports exactly one CV"
         if not hasattr(engine, "force_into"):
@@ -119,6 +122,11 @@ class FluxTemperedSampler:
             from jax.sharding import PartitionSpec as P
             from .parallel.walkers import _shard_map
 
+            # product meshes (walkers x space): only the walker axis goes
+            # manual here; the spatial engine's nested islands manualize
+            # "space" (parallel/walkers.WalkerSampler parity)
+            manual = ((walker_axis,) if len(mesh.axis_names) > 1 else None)
+
             def prime_one(st, b):
                 st = jax.tree.map(lambda x: x[0], st)
                 st2, aux2 = _prime(st, b)
@@ -126,7 +134,8 @@ class FluxTemperedSampler:
 
             state, aux = jax.jit(_shard_map(
                 prime_one, mesh, in_specs=(P(walker_axis), P()),
-                out_specs=P(walker_axis)))(state, self.bias)
+                out_specs=P(walker_axis), axis_names=manual))(
+                    state, self.bias)
             keys = jax.vmap(
                 lambda w: jax.random.fold_in(jax.random.PRNGKey(seed), w)
             )(jnp.arange(self.n_walkers))
@@ -221,7 +230,8 @@ class FluxTemperedSampler:
 
             self._run_period = jax.jit(_shard_map(
                 period_one, mesh, in_specs=(P(walker_axis), P()),
-                out_specs=(P(walker_axis), P(walker_axis))))
+                out_specs=(P(walker_axis), P(walker_axis)),
+                axis_names=manual))
         else:
             self._run_period = jax.jit(period)
         self.history: list[dict] = []

@@ -47,6 +47,7 @@ def test_config5_flux_tempered_packed_melt():
         integrator_factory=lambda f: make_packed_langevin_step(
             f, dt=0.003, kT=1.0, gamma=1.0),
         kT=1.0, stride=25, update_period=4, seed=0,
+        min_round_trips=0,   # scale smoke: ungated legacy cadence
     )
     out = s.run(100)  # 1 bias update
     assert s.n_updates == 1
@@ -122,6 +123,7 @@ def test_config5_sharded_million_particle_smoke():
         integrator_factory=lambda f: make_packed_langevin_step(
             f, dt=0.003, kT=1.0, gamma=1.0),
         kT=1.0, stride=10, update_period=2, seed=0,
+        min_round_trips=0,   # scale smoke: ungated legacy cadence
     )
     out = s.run(40)  # 2 flux bias updates over the full sharded step loop
     assert s.n_updates == 2

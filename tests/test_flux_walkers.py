@@ -25,6 +25,10 @@ A_WELL = 3.0
 
 
 def _ft(kT, n_walkers=1, seed=0, **kw):
+    # cadence/convergence tests exercise the EXPLICIT opt-out of the
+    # equilibration gate (which now defaults ON, min_round_trips=1);
+    # the gate tests below override this
+    kw.setdefault("min_round_trips", 0)
     def dw(pos, state, system):
         x = pos[0, 0]
         return (A_WELL * (x * x - 1.0) ** 2
@@ -119,3 +123,36 @@ def test_flux_gate_open_matches_legacy_cadence():
     h = s.run(25_000)         # 5 periods
     assert all(m["update_applied"] for m in h)
     assert s.n_updates == 5
+
+
+def test_flux_gate_defaults_on():
+    """The equilibration criterion is the OUT-OF-THE-BOX behavior
+    (SURVEY.md §3.4 "after equilibration criterion"): constructing a
+    sampler without the knob gates updates on one pooled round trip."""
+    from metadyn_tpu.core.box import Box
+    from metadyn_tpu.core.forcefield import ForceField
+    from metadyn_tpu.core.state import make_state, make_system
+    from metadyn_tpu.integrate.langevin import make_langevin_step
+
+    def dw(pos, state, system):
+        x = pos[0, 0]
+        return (A_WELL * (x * x - 1.0) ** 2
+                + 5.0 * (pos[0, 1] ** 2 + pos[0, 2] ** 2))
+
+    system = make_system(1)
+    ff = ForceField(external=dw)
+    state = make_state(np.asarray([[1.0, 0, 0]], np.float32),
+                       Box.cubic(50.0))
+    s = FluxTemperedSampler(
+        system, state, ff.bind(system),
+        cvs=[AxisPosition(0, 0, name="x")],
+        grid_spec=GridSpec.create([-1.5], [1.5], [61], [0.1]),
+        integrator_factory=lambda f: make_langevin_step(
+            f, system, dt=0.005, kT=0.2, gamma=2.0),
+        kT=0.2, stride=50, update_period=20, seed=0)
+    assert s.min_round_trips == 1
+    # a cold start (barrier 3.0 = 15 kT) produces no round trip in one
+    # period → the default gate defers the first update
+    h = s.run(1_000)
+    assert h[-1]["update_applied"] is False
+    assert s.n_updates == 0

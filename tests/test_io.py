@@ -264,7 +264,8 @@ def test_flux_checkpoint_bitwise_resume(tmp_path):
             grid_spec=GridSpec.create([-1.5], [1.5], [31], [0.1]),
             integrator_factory=lambda f: make_langevin_step(
                 f, system, dt=0.005, kT=0.6, gamma=5.0),
-            kT=0.6, stride=50, update_period=4, seed=2)
+            kT=0.6, stride=50, update_period=4, seed=2,
+            min_round_trips=0)   # bitwise-cadence test: ungated
 
     ckpt = str(tmp_path / "flux_ckpt.npz")
     s1 = mk()

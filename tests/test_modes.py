@@ -111,7 +111,10 @@ def test_flux_accumulate_and_update():
     assert V[0] < 0.0
 
 
-def _ft_sampler(kT, gamma=5.0, gain_halflife=20, bias_every=1):
+def _ft_sampler(kT, gamma=5.0, gain_halflife=20, bias_every=1,
+                min_round_trips=0):
+    # legacy ungated cadence (the equilibration gate now defaults ON):
+    # these tests assert per-period update counts, so opt out explicitly
 
     def dw(pos, state, system):
         x = pos[0, 0]
@@ -127,6 +130,7 @@ def _ft_sampler(kT, gamma=5.0, gain_halflife=20, bias_every=1):
             f, system, dt=0.005, kT=kT, gamma=gamma),
         kT=kT, stride=50, update_period=100, seed=0,
         gain_halflife=gain_halflife, bias_every=bias_every,
+        min_round_trips=min_round_trips,
     )
 
 
