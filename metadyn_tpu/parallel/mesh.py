@@ -64,12 +64,18 @@ class ShardedPackedMesh:
     halo: int = struct.field(pytree_node=False, default=2)
     name: str = struct.field(pytree_node=False, default="mesh")
     assign_order: int = struct.field(pytree_node=False, default=2)
+    # nested=True builds the FFT island for use INSIDE an enclosing
+    # shard_map (the walkers x space product mesh): only ``axis`` goes
+    # manual here, the mesh resolves from the calling context — exactly
+    # the spatial engine's nested-island mechanism (parallel/spatial.py)
+    nested: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, mesh_shape, spec: PackedSpec, mesh: Mesh, n_real: int,
                k0: float, width: float = 0.5, axis: str = "space",
                box_L=None, name: str = "mesh",
-               assign_order: int = 2) -> "ShardedPackedMesh":
+               assign_order: int = 2,
+               nested: bool = False) -> "ShardedPackedMesh":
         mesh_shape = tuple(int(x) for x in mesh_shape)
         nx, ny, nz = mesh_shape
         n_dev = mesh.shape[axis]
@@ -90,7 +96,8 @@ class ShardedPackedMesh:
             "mesh or fewer devices")
         return cls(k0=float(k0), width=float(width), mesh_shape=mesh_shape,
                    n_real=n_real, spec=spec, mesh=mesh, axis=axis,
-                   halo=h, name=name, assign_order=int(assign_order))
+                   halo=h, name=name, assign_order=int(assign_order),
+                   nested=nested)
 
     @property
     def attr_name(self) -> str:
@@ -100,27 +107,33 @@ class ShardedPackedMesh:
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
-    def _sharded_sum(self, state: PackedState, weight_kind: str) -> jax.Array:
-        """(1/N)·Σ_k |ρ̂(k)|²·w(k) with w = u (value) or u'·|k| (virial),
-        fully partitioned (see module docstring)."""
-        spec = self.spec
+    def _local_fn(self, weight_kind: str):
+        """The per-device body: ``local(r, w, box_L, six) -> psummed
+        partial`` of Σ_k |ρ̂(k)|²·w(k) (UN-normalized).  Shared by the
+        value/virial forward islands and the analytic-force island
+        (:meth:`accum_bias_force`), which takes its vjp INSIDE the
+        shard_map body — the collectives (ppermute folds, all_to_all
+        transpose, psum) are differentiated in place, so the shard_map
+        boundary itself is never transposed (the nested-island AD
+        transpose trips a Shardy manual-axis-ordering limit)."""
         nx, ny, nz = self.mesh_shape
         n_dev = self.mesh.shape[self.axis]
         nx_l, ny_l = nx // n_dev, ny // n_dev
         h = self.halo
-        cap, C = spec.cap, spec.n_cells
-        cx = spec.cells_per_dim[0]
-        assert cx % n_dev == 0
-        C_l = (cx // n_dev) * spec.n_cells // cx
         axis = self.axis
         k0, width = self.k0, self.width
         order = self.assign_order
         fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
         bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-        def local(r, w, box_L):
-            """r (3, cap, C_l), w (cap, C_l) per-slot coefficients."""
-            idx = jax.lax.axis_index(axis)
+        def local(r, w, box_L, six):
+            """r (3, cap, C_l), w (cap, C_l) per-slot coefficients.
+
+            The shard index arrives as a P(axis)-sharded iota rather than
+            ``jax.lax.axis_index``: axis_index's partition-id lowering
+            breaks inside a NESTED shard_map (parallel/spatial.py
+            local_force has the same workaround)."""
+            idx = six[0]
             x0 = idx * nx_l                      # my first global x-column
 
             # --- local CIC/TSC into the halo-extended slab --------------
@@ -190,16 +203,62 @@ class ShardedPackedMesh:
                 part = jnp.sum((rk.real ** 2 + rk.imag ** 2) * u)
             return jax.lax.psum(part, axis)
 
+        return local
+
+    def _island(self, body, extra_specs=(), out_specs=None):
+        """shard_map the per-device ``body`` (nested-aware) and return a
+        caller that feeds the (r, w, box_L, iota, *extra) views."""
+        axis = self.axis
+        n_dev = self.mesh.shape[axis]
         fn = _shard_map(
-            local, self.mesh,
-            in_specs=(P(None, None, axis), P(None, axis), P()),
-            out_specs=P())
-        # jit so eager callers (sampler init) get automatic input
-        # resharding; inside an outer jit this inlines
-        s = jax.jit(fn)(state.r.reshape(3, cap, C),
-                        state.attrs[self.attr_name].reshape(cap, C),
-                        state.box.L)
+            body, None if self.nested else self.mesh,
+            in_specs=(P(None, None, axis), P(None, axis), P(), P(axis))
+            + tuple(extra_specs),
+            out_specs=P() if out_specs is None else out_specs,
+            axis_names=(axis,) if self.nested else None)
+        shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
+
+        def run(state, *extra):
+            cap, C = self.spec.cap, self.spec.n_cells
+            args = (state.r.reshape(3, cap, C),
+                    state.attrs[self.attr_name].reshape(cap, C),
+                    state.box.L, shard_iota) + extra
+            if self.nested:
+                # inside the enclosing (walker-manual) region the island
+                # inlines directly
+                return fn(*args)
+            # jit so eager callers (sampler init) get automatic input
+            # resharding; inside an outer jit this inlines
+            return jax.jit(fn)(*args)
+
+        return run
+
+    def _sharded_sum(self, state: PackedState, weight_kind: str) -> jax.Array:
+        """(1/N)·Σ_k |ρ̂(k)|²·w(k) with w = u (value) or u'·|k| (virial),
+        fully partitioned (see module docstring)."""
+        s = self._island(self._local_fn(weight_kind))(state)
         return s / self.n_real
+
+    def accum_bias_force(self, state: PackedState, system, dVds: jax.Array,
+                         f_acc: jax.Array) -> jax.Array:
+        """f_acc += −dVds·∂s/∂r — the reference's k-space force
+        back-interpolation (SURVEY.md §3.3), computed by differentiating
+        the LOCAL pipeline inside the island (see :meth:`_local_fn`)."""
+        local = self._local_fn("value")
+        axis = self.axis
+
+        def local_grad(r, w, box_L, six, cot):
+            val, vjp = jax.vjp(lambda rr: local(rr, w, box_L, six), r)
+            # `cot + 0·val` imprints val's varying-manual-axes type on the
+            # replicated cotangent (nested islands: val varies over the
+            # enclosing walker axis, and the vjp demands a matching vma)
+            (gr,) = vjp(cot + 0.0 * val)
+            return gr
+
+        cot = (-dVds / self.n_real).astype(jnp.float32)
+        g = self._island(local_grad, extra_specs=(P(),),
+                         out_specs=P(None, None, axis))(state, cot)
+        return f_acc + g.reshape(3, -1)
 
     def value(self, state: PackedState, system: System) -> jax.Array:
         return self._sharded_sum(state, "value")

@@ -69,12 +69,16 @@ class ShardedPackedMesh2D:
     halo: tuple = struct.field(pytree_node=False, default=(2, 2))
     name: str = struct.field(pytree_node=False, default="mesh")
     assign_order: int = struct.field(pytree_node=False, default=2)
+    # nested=True: build the FFT island for use INSIDE an enclosing
+    # shard_map (walkers x 2-D space) — only ``axes`` go manual here
+    nested: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
     def create(cls, mesh_shape, spec: PackedSpec, mesh: Mesh, n_real: int,
                k0: float, width: float = 0.5,
                axes=("spacex", "spacey"), box_L=None, name: str = "mesh",
-               assign_order: int = 2) -> "ShardedPackedMesh2D":
+               assign_order: int = 2,
+               nested: bool = False) -> "ShardedPackedMesh2D":
         mesh_shape = tuple(int(x) for x in mesh_shape)
         nx, ny, nz = mesh_shape
         n_x, n_y = mesh.shape[axes[0]], mesh.shape[axes[1]]
@@ -92,7 +96,11 @@ class ShardedPackedMesh2D:
         halos = []
         for d, (n_d, n_dev) in enumerate(((nx, n_x), (ny, n_y))):
             if box_L is not None:
-                spacing = float(np.asarray(box_L).reshape(-1)[0]) / n_d
+                # per-axis box length: a scalar box_L broadcasts, a
+                # 3-vector uses component d (non-cubic boxes must size the
+                # y halo from Ly — assignment uses f = r[d]/box_L[d])
+                bl = np.asarray(box_L, dtype=np.float64).reshape(-1)
+                spacing = float(bl[d] if bl.size > 1 else bl[0]) / n_d
                 h = 1 + int(np.ceil((0.5 * spec.skin) / spacing))
             else:
                 h = 2
@@ -103,7 +111,7 @@ class ShardedPackedMesh2D:
         return cls(k0=float(k0), width=float(width), mesh_shape=mesh_shape,
                    n_real=n_real, spec=spec, mesh=mesh, axes=tuple(axes),
                    halo=tuple(halos), name=name,
-                   assign_order=int(assign_order))
+                   assign_order=int(assign_order), nested=nested)
 
     @property
     def attr_name(self) -> str:
@@ -113,16 +121,19 @@ class ShardedPackedMesh2D:
     def log_name(self) -> str:
         return f"cv_{self.name}"
 
-    def _sharded_sum(self, state: PackedState, weight_kind: str) -> jax.Array:
-        """(1/N)·Σ_k |ρ̂(k)|²·w(k) with w = u (value) or the per-axis
-        virial stack, fully partitioned (see module docstring)."""
+    def _local_fn(self, weight_kind: str):
+        """Per-device body ``local(r, w, box_L, six, siy) -> psummed
+        partial`` (UN-normalized).  Shared by the forward islands and
+        :meth:`accum_bias_force`, which differentiates it INSIDE the
+        island (see parallel/mesh.py — nested-island AD transpose trips
+        a Shardy manual-axis-ordering limit, so the shard_map boundary
+        itself is never transposed)."""
         spec = self.spec
         nx, ny, nz = self.mesh_shape
         ax, ay = self.axes
         n_x, n_y = self.mesh.shape[ax], self.mesh.shape[ay]
         nx_l, ny_l = nx // n_x, ny // n_y
         hx, hy = self.halo
-        cap = spec.cap
         cx, cy, cz = spec.cells_per_dim
         assert cx % n_x == 0 and cy % n_y == 0
         order = self.assign_order
@@ -213,19 +224,64 @@ class ShardedPackedMesh2D:
                 part = jnp.sum((rk.real ** 2 + rk.imag ** 2) * u)
             return jax.lax.psum(part, (ax, ay))
 
+        return local
+
+    def _island(self, body, extra_specs=(), out_specs=None):
+        """shard_map the per-device ``body`` (nested-aware) and return a
+        caller feeding the (r, w, box_L, iota_x, iota_y, *extra) views."""
+        ax, ay = self.axes
+        n_x, n_y = self.mesh.shape[ax], self.mesh.shape[ay]
         fn = _shard_map(
-            local, self.mesh,
+            body, None if self.nested else self.mesh,
             in_specs=(P(None, None, ax, ay, None), P(None, ax, ay, None),
-                      P(), P(ax), P(ay)),
-            out_specs=P())
+                      P(), P(ax), P(ay)) + tuple(extra_specs),
+            out_specs=P() if out_specs is None else out_specs,
+            axis_names=(ax, ay) if self.nested else None)
         iota_x = jnp.arange(n_x, dtype=jnp.int32)
         iota_y = jnp.arange(n_y, dtype=jnp.int32)
-        # jit so eager callers (sampler init) get automatic input
-        # resharding; inside an outer jit this inlines
-        s = jax.jit(fn)(state.r.reshape(3, cap, cx, cy, cz),
-                        state.attrs[self.attr_name].reshape(cap, cx, cy, cz),
-                        state.box.L, iota_x, iota_y)
+
+        def run(state, *extra):
+            cap = self.spec.cap
+            cx, cy, cz = self.spec.cells_per_dim
+            args = (state.r.reshape(3, cap, cx, cy, cz),
+                    state.attrs[self.attr_name].reshape(cap, cx, cy, cz),
+                    state.box.L, iota_x, iota_y) + extra
+            if self.nested:
+                # inside the enclosing (walker-manual) region the island
+                # inlines directly
+                return fn(*args)
+            # jit so eager callers (sampler init) get automatic input
+            # resharding; inside an outer jit this inlines
+            return jax.jit(fn)(*args)
+
+        return run
+
+    def _sharded_sum(self, state: PackedState, weight_kind: str) -> jax.Array:
+        """(1/N)·Σ_k |ρ̂(k)|²·w(k) with w = u (value) or the per-axis
+        virial stack, fully partitioned (see module docstring)."""
+        s = self._island(self._local_fn(weight_kind))(state)
         return s / self.n_real
+
+    def accum_bias_force(self, state: PackedState, system, dVds: jax.Array,
+                         f_acc: jax.Array) -> jax.Array:
+        """f_acc += −dVds·∂s/∂r — k-space force back-interpolation
+        (SURVEY.md §3.3) by differentiating the local pipeline inside
+        the island (parallel/mesh.py parity)."""
+        local = self._local_fn("value")
+        ax, ay = self.axes
+
+        def local_grad(r, w, box_L, six, siy, cot):
+            val, vjp = jax.vjp(
+                lambda rr: local(rr, w, box_L, six, siy), r)
+            # imprint val's varying-manual-axes type on the replicated
+            # cotangent (see parallel/mesh.py)
+            (gr,) = vjp(cot + 0.0 * val)
+            return gr
+
+        cot = (-dVds / self.n_real).astype(jnp.float32)
+        g = self._island(local_grad, extra_specs=(P(),),
+                         out_specs=P(None, None, ax, ay, None))(state, cot)
+        return f_acc + g.reshape(3, -1)
 
     def value(self, state: PackedState, system: System) -> jax.Array:
         return self._sharded_sum(state, "value")
