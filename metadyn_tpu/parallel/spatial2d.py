@@ -77,13 +77,26 @@ def _seam_add(ext, comp: int, plane_slice, amount):
 
 
 def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
-                             axes=("spacex", "spacey")):
+                             axes=("spacex", "spacey"),
+                             nested: bool = False,
+                             pair_pallas: bool = False):
     """``force(state) -> state`` with the cell grid sharded over x and y.
 
     Same contract as :func:`parallel.spatial.make_sharded_lj_force`
     (global (cap, C)-flat state; energy/virial psum-reduced with ghost
     i-cells masked).  Requires ``cx % n_x == 0`` and ``cy % n_y == 0``.
+
+    ``nested=True`` builds the island for use INSIDE an enclosing
+    shard_map (walkers x 2-D space): only ``axes`` go manual and the mesh
+    resolves from the calling context.  ``pair_pallas=True`` runs the
+    Newton-halved Pallas kernel (ops/packed_pallas2) on the halo-extended
+    local grid, forces only — the same ghost↔ghost discard proof as the
+    1-D slab (interior cells are buffered on BOTH sharded axes, so every
+    roll-wrapped pair of the non-periodic extended grid is ghost↔ghost);
+    energy/virial refreshes stay on the masked XLA path.
     """
+    if pair_pallas:
+        from ..ops.packed_pallas2 import packed_lj_force_pallas2
     ax, ay = axes
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
@@ -163,19 +176,27 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
             box=Box(L=box_L),
             potential_energy=jnp.float32(0.0),
             virial=jnp.zeros(3, jnp.float32))
-        out = packed_lj_force(st_ext, spec_ext, cell_mask=interior)
+        if pair_pallas:
+            out = packed_lj_force_pallas2(st_ext, spec_ext,
+                                          with_energy=False)
+            e = jnp.float32(0.0)
+            w = jnp.zeros(3, jnp.float32)
+        else:
+            out = packed_lj_force(st_ext, spec_ext, cell_mask=interior)
+            e = jax.lax.psum(out.potential_energy, (ax, ay))
+            w = jax.lax.psum(out.virial, (ax, ay))
         f_loc = out.f.reshape(3, cap, cx_e, cy_e, cz)[:, :, 1:-1, 1:-1]
-        e = jax.lax.psum(out.potential_energy, (ax, ay))
-        w = jax.lax.psum(out.virial, (ax, ay))
         return f_loc, e, w
 
     sharded = _shard_map(
-        local_force, mesh,
+        local_force, None if nested else mesh,
         in_specs=(P(None, None, ax, ay, None), P(None, ax, ay, None),
                   P(None, ax, ay, None),
                   {k: P(None, ax, ay, None) for k in attr_names},
                   P(), P(ax), P(ay)),
         out_specs=(P(None, None, ax, ay, None), P(), P()),
+        axis_names=(ax, ay) if nested else None,
+        check_vma=not pair_pallas,
     )
     iota_x = jnp.arange(n_x, dtype=jnp.int32)
     iota_y = jnp.arange(n_y, dtype=jnp.int32)
@@ -196,11 +217,12 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
 
 
 def make_sharded_repack_2d(spec: PackedSpec, mesh: Mesh,
-                           axes=("spacex", "spacey")):
+                           axes=("spacex", "spacey"),
+                           nested: bool = False):
     """Sharded incremental repack over the 2-D mesh (see module
     docstring).  Returns ``repack(state) -> (state, bad)`` on GLOBAL
     (cap, C)-flat arrays; ``bad`` is True iff the global particle count
-    changed."""
+    changed.  ``nested``: see :func:`make_sharded_lj_force_2d`."""
     ax, ay = axes
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
@@ -360,8 +382,9 @@ def make_sharded_repack_2d(spec: PackedSpec, mesh: Mesh,
     def repack(state: PackedState):
         attr_keys = sorted(state.attrs.keys())
         in_specs, out_specs = specs(attr_keys)
-        fn = _shard_map(local_repack, mesh, in_specs=in_specs,
-                        out_specs=out_specs)
+        fn = _shard_map(local_repack, None if nested else mesh,
+                        in_specs=in_specs, out_specs=out_specs,
+                        axis_names=(ax, ay) if nested else None)
         view = lambda a: a.reshape(cap, cx, cy, cz)
         r_n, v_n, f_n, im_n, pid_n, typ_n, attrs_n, bad, slot_of = fn(
             state.r.reshape(3, cap, cx, cy, cz),
@@ -392,20 +415,58 @@ class SpatialPackedEngine2D(PackedEngine):
 
     def __init__(self, spec: PackedSpec, mesh: Mesh,
                  axes=("spacex", "spacey"), rebuild_every: int = 1,
-                 mass: float = 1.0, always_repack: bool = False):
+                 mass: float = 1.0, always_repack: bool = False,
+                 nested: bool = False, walker_axis: str = "walkers",
+                 pair_pallas: Optional[bool] = None,
+                 with_energy: bool = False):
+        """``nested=True`` builds the halo islands for use inside an
+        enclosing shard_map over ``walker_axis`` (walkers x 2-D space —
+        pass the full 3-axis product mesh here and the same mesh to
+        ``WalkerSampler``).
+
+        ``pair_pallas`` (default: TPU, LJ pair kind, not nested) runs the
+        inner-step pair force through the Newton-halved Pallas kernel on
+        the halo-extended local grid (see
+        :func:`make_sharded_lj_force_2d`); energy/virial refreshes stay
+        on the masked XLA path.  ``with_energy=True`` keeps EVERY force
+        call on the XLA path (live per-step energy/virial — SCR-NPT, WTE)
+        and forces ``pair_pallas`` off, mirroring the 1-D engine."""
         super().__init__(spec, rebuild_every=rebuild_every,
                          use_pallas=False, mass=mass,
                          always_repack=always_repack)
         self.mesh = mesh
         self.axes = axes
-        sharded_force = make_sharded_lj_force_2d(spec, mesh, axes)
-        self._sharded_repack = make_sharded_repack_2d(spec, mesh, axes)
+        self._nested_islands = nested
+        self._walker_axis = walker_axis
+        if pair_pallas is None:
+            pair_pallas = (jax.default_backend() == "tpu" and not nested
+                           and spec.pair_kind == "lj")
+        if with_energy:
+            pair_pallas = False
+        self.pair_pallas = pair_pallas
+        # see parallel/spatial.py: loud-check flag for per-step
+        # energy/virial consumers
+        self.virial_live = self.energy_live = not pair_pallas
+        sharded_force = make_sharded_lj_force_2d(spec, mesh, axes,
+                                                 nested=nested,
+                                                 pair_pallas=pair_pallas)
+        sharded_force_e = (make_sharded_lj_force_2d(spec, mesh, axes,
+                                                    nested=nested)
+                           if pair_pallas else sharded_force)
+        self._sharded_repack = make_sharded_repack_2d(spec, mesh, axes,
+                                                      nested=nested)
         self._force = lambda st, sp: sharded_force(st)
-        self._force_e = lambda st, sp: sharded_force(st)
+        self._force_e = lambda st, sp: sharded_force_e(st)
 
     def rebuild(self, state: PackedState, aux: PackedAux):
         need = (jnp.asarray(True) if self.always_repack
                 else needs_repack(state, self.spec))
+        if self._nested_islands:
+            # the repack's space-ring collectives rendezvous over every
+            # device; a walker whose trigger diverges would deadlock the
+            # fused collective (parallel/spatial.py rebuild parity)
+            need = jax.lax.pmax(need.astype(jnp.int32),
+                                self._walker_axis) > 0
         state, bad = jax.lax.cond(
             need, self._sharded_repack, lambda st: (st, st.pid[0] < -1),
             state)
