@@ -70,7 +70,8 @@ def _build_particle_cvs(cvs_cfg, system, L, pos):
 
 
 def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
-                      smesh=None, box_L=None, smesh2d=None):
+                      smesh=None, box_L=None, smesh2d=None,
+                      nested=False):
     """Packed CV zoo: lamellar, mesh, steinhardt/q6, coordination, msd.
 
     With ``smesh`` (a ``"space"``-axis device mesh from
@@ -79,6 +80,8 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
     ``("spacex", "spacey")`` mesh from a 2-element ``spatial_devices``)
     it becomes the pencil-FFT ``ShardedPackedMesh2D``.  lamellar/msd and
     the roll-sweep order CVs are GSPMD-sharded by XLA unchanged.
+    ``nested=True`` (walkers x space product meshes) builds the FFT
+    islands for use inside the walker-manual region.
     """
     from .cv.packed import PackedLamellar, PackedMesh, PackedMSD, \
         msd_reference_attrs
@@ -98,13 +101,13 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
                 cv = ShardedPackedMesh.create(
                     tuple(c["mesh"]), spec, smesh, n_real=n, k0=c["k0"],
                     width=c.get("width", 0.5), box_L=box_L, name=c["name"],
-                    assign_order=_assign_order(c))
+                    assign_order=_assign_order(c), nested=nested)
             elif smesh2d is not None:
                 from .parallel.mesh2d import ShardedPackedMesh2D
                 cv = ShardedPackedMesh2D.create(
                     tuple(c["mesh"]), spec, smesh2d, n_real=n, k0=c["k0"],
                     width=c.get("width", 0.5), box_L=box_L, name=c["name"],
-                    assign_order=_assign_order(c))
+                    assign_order=_assign_order(c), nested=nested)
             else:
                 cv = PackedMesh.create(tuple(c["mesh"]), None, n_real=n,
                                        k0=c["k0"], width=c.get("width", 0.5),
@@ -130,6 +133,16 @@ def _build_packed_cvs(cvs_cfg, spec, n, types, pos, system,
         elif kind == "wte":
             from .cv.simple import PotentialEnergyCV
             cv = PotentialEnergyCV(name=c["name"])
+        elif kind == "aspect_ratio":
+            # box-shape metadynamics on the packed engine: the CV reads
+            # only box.L (exact under spatial DD — the box is replicated
+            # and the DD force psums the per-axis virial); pair it with
+            # integrator {kind: npt_scr, box_bias: true, anisotropic:
+            # true} so ∂V/∂s couples to the box DOF inside the chunk
+            from .cv.aspect_ratio import AspectRatio
+            cv = AspectRatio(axis_a=int(c.get("axis_a", 0)),
+                             axis_b=int(c.get("axis_b", 1)),
+                             name=c["name"])
         else:
             raise ValueError(f"unknown packed cv kind {kind}")
         cvs.append(cv)
@@ -149,7 +162,8 @@ def _grid_from_cfg(cvs_cfg, mcfg):
         periodic=[bool(c["grid"].get("periodic", False)) for c in cvs_cfg])
 
 
-def _integrator_factory(icfg, system, packed: bool, spec=None):
+def _integrator_factory(icfg, system, packed: bool, spec=None,
+                        engine=None):
     from .integrate.langevin import make_langevin_step
     from .integrate.nvt import make_nvt_nh_step, make_nvt_bdp_step
     from .integrate.npt import make_npt_scr_step
@@ -178,9 +192,10 @@ def _integrator_factory(icfg, system, packed: bool, spec=None):
                     cv = AspectRatio()
                     return make_packed_npt_scr_step(
                         f, spec, box_bias_fn=box_bias_fn_for(cv, bias),
-                        **_kw)
+                        engine=engine, **_kw)
                 return factory
-            return lambda f: make_packed_npt_scr_step(f, spec, **kw)
+            return lambda f: make_packed_npt_scr_step(f, spec,
+                                                      engine=engine, **kw)
         raise ValueError(
             f"packed engine supports langevin/nve/npt_scr, got {kind}")
     if kind == "langevin":
@@ -364,24 +379,47 @@ def build_sampler(cfg: dict, resume: bool = False):
         sp_dev = 1 if isinstance(sp_raw, (list, tuple)) else int(sp_raw)
         smesh = None
         smesh2d = None
+        # npt_scr reads state.virial and wte state.potential_energy every
+        # step — the engines must keep EVERY force call on a live
+        # energy/virial path (with_energy)
+        want_energy = (icfg.get("kind") == "npt_scr"
+                       or any(c["kind"] == "wte" for c in cvs_cfg)
+                       or bool(eng_cfg.get("with_energy", False)))
         if isinstance(sp_raw, (list, tuple)):
             nx, ny = int(sp_raw[0]), int(sp_raw[1])
             from jax.sharding import Mesh as _JaxMesh
             from .parallel.spatial2d import SpatialPackedEngine2D
             devs = jax.devices()
-            need = nx * ny
-            if len(devs) < need:
-                raise ValueError(
-                    f"engine.spatial_devices={sp_raw} needs {need} "
-                    f"devices, have {len(devs)}")
             if n_walkers > 1:
-                raise ValueError(
-                    "walkers x 2-D-space product meshes are not "
-                    "supported yet (use the 1-D slab decomposition)")
-            # npt_scr/wte work here without a flag: the 2-D halo force
-            # always psum-reduces interior-masked energy + per-axis
-            # virial (tests/test_spatial2d.py::
-            # test_2d_npt_wte_matches_single_device)
+                # walkers x 2-D space: the reference's
+                # ``mpirun -n W*nx*ny --nrank W`` with 2-D sub-boxes —
+                # walker partitions, each internally (x, y)-decomposed
+                need = n_walkers * nx * ny
+                if len(devs) < need:
+                    raise ValueError(
+                        f"{n_walkers} walkers x {sp_raw} spatial shards "
+                        f"need {need} devices, have {len(devs)}")
+                wmesh = _JaxMesh(
+                    np.asarray(devs[:need]).reshape(n_walkers, nx, ny),
+                    ("walkers", "spacex", "spacey"))
+                smesh2d = wmesh
+                engine = SpatialPackedEngine2D(
+                    spec, wmesh, nested=True,
+                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
+                    with_energy=want_energy)
+            else:
+                need = nx * ny
+                if len(devs) < need:
+                    raise ValueError(
+                        f"engine.spatial_devices={sp_raw} needs {need} "
+                        f"devices, have {len(devs)}")
+                m2d = _JaxMesh(np.asarray(devs[:need]).reshape(nx, ny),
+                               ("spacex", "spacey"))
+                smesh2d = m2d
+                engine = SpatialPackedEngine2D(
+                    spec, m2d,
+                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
+                    with_energy=want_energy)
             bad = {c["kind"] for c in cvs_cfg} - {
                 "lamellar", "msd", "steinhardt", "q6", "coordination",
                 "wte", "mesh"}
@@ -389,12 +427,6 @@ def build_sampler(cfg: dict, resume: bool = False):
                 raise ValueError(
                     f"cv kinds {sorted(bad)} are not supported under the "
                     "2-D decomposition yet")
-            m2d = _JaxMesh(np.asarray(devs[:need]).reshape(nx, ny),
-                           ("spacex", "spacey"))
-            smesh2d = m2d
-            engine = SpatialPackedEngine2D(
-                spec, m2d,
-                rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
         elif sp_dev > 1:
             from jax.sharding import Mesh as _JaxMesh
             from .parallel.spatial import SpatialPackedEngine
@@ -403,42 +435,31 @@ def build_sampler(cfg: dict, resume: bool = False):
                 raise ValueError(
                     f"engine.spatial_devices={sp_dev} but only "
                     f"{len(devs)} devices are visible")
-            want_energy = (icfg.get("kind") == "npt_scr"
-                           or any(c["kind"] == "wte" for c in cvs_cfg)
-                           or bool(eng_cfg.get("with_energy", False)))
-            if want_energy and n_walkers > 1:
-                raise ValueError(
-                    "npt_scr / wte need the with_energy engine mode, which "
-                    "is not supported on a walkers x space product mesh yet")
             if n_walkers > 1:
                 # product mesh: n_walkers partitions, each domain-
                 # decomposed over spatial_devices shards — the reference's
                 # ``mpirun -n W*S --nrank W``.  The walker chunk goes
                 # manual over "walkers"; the engine's nested halo islands
-                # manualize "space" (parallel/spatial.py).
+                # manualize "space" (parallel/spatial.py).  lamellar/msd
+                # reductions and the roll-sweep order CVs run inside the
+                # walkers-manual region with "space" left to GSPMD; the
+                # mesh CV nests its slab-FFT island under the walker axis
+                # (ShardedPackedMesh(nested=True)); with_energy covers
+                # npt_scr/wte (the nested XLA force path psums
+                # interior-masked energy + per-axis virial per call).
                 need = n_walkers * sp_dev
                 if len(devs) < need:
                     raise ValueError(
                         f"{n_walkers} walkers x {sp_dev} spatial shards "
                         f"need {need} devices, have {len(devs)}")
-                # lamellar/msd reductions and the roll-sweep order CVs
-                # all run inside the walkers-manual region with "space"
-                # left to GSPMD (tests/test_spatial.py::
-                # test_order_cvs_on_product_mesh); the mesh CV's slab FFT
-                # islands don't nest under the walker axis yet
-                bad_kinds = {c["kind"] for c in cvs_cfg} - {
-                    "lamellar", "msd", "steinhardt", "q6", "coordination"}
-                if bad_kinds:
-                    raise ValueError(
-                        f"cv kinds {sorted(bad_kinds)} are not supported "
-                        "on a walkers x space product mesh yet (use "
-                        "lamellar/msd/steinhardt/coordination)")
                 wmesh = _JaxMesh(
                     np.asarray(devs[:need]).reshape(n_walkers, sp_dev),
                     ("walkers", "space"))
+                smesh = wmesh
                 engine = SpatialPackedEngine(
                     spec, wmesh, nested=True,
-                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)))
+                    rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
+                    with_energy=want_energy)
             else:
                 smesh = _JaxMesh(np.asarray(devs[:sp_dev]), ("space",))
                 engine = SpatialPackedEngine(
@@ -448,13 +469,28 @@ def build_sampler(cfg: dict, resume: bool = False):
         else:
             engine = PackedEngine(
                 spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
-                # NPT reads state.virial every step; WTE reads the energy
-                with_energy=(icfg.get("kind") == "npt_scr"
-                             or any(c["kind"] == "wte" for c in cvs_cfg)
-                             or bool(eng_cfg.get("with_energy", False))))
-        cvs, extra_attrs = _build_packed_cvs(cvs_cfg, spec, n, types, pos,
-                                             system, smesh=smesh, box_L=L,
-                                             smesh2d=smesh2d)
+                with_energy=want_energy)
+        if getattr(engine, "_nested_islands", False):
+            kinds = {c["kind"] for c in cvs_cfg}
+            if "aspect_ratio" in kinds:
+                raise ValueError(
+                    "the aspect-ratio (box-shape) CV needs the two-arg "
+                    "box-coupled integrator factory, which multi-walker "
+                    "chunks do not support — not available on a walkers "
+                    "x space product mesh (run it under plain "
+                    "spatial_devices)")
+            if "mesh" in kinds and kinds & {"steinhardt", "q6",
+                                            "coordination"}:
+                raise ValueError(
+                    "the mesh CV cannot be combined with steinhardt/"
+                    "coordination CVs on a walkers x space product mesh: "
+                    "the mixed set forces the vjp bias path, which would "
+                    "transpose the nested FFT island (unsupported); use "
+                    "mesh-only or order-CV-only runs")
+        cvs, extra_attrs = _build_packed_cvs(
+            cvs_cfg, spec, n, types, pos, system, smesh=smesh, box_L=L,
+            smesh2d=smesh2d,
+            nested=getattr(engine, "_nested_islands", False))
         if fene is not None:
             assert bonds is not None, "fene engine config needs melt init"
             extra_attrs.update(bond_partner_attrs(bonds, n))
@@ -477,7 +513,14 @@ def build_sampler(cfg: dict, resume: bool = False):
         packed = False
 
     integ = _integrator_factory(icfg, system, packed,
-                                spec=spec if packed else None)
+                                spec=spec if packed else None,
+                                engine=engine if packed else None)
+    if bool(icfg.get("box_bias", False)) and (n_walkers > 1
+                                              or mode == "flux_tempered"):
+        raise ValueError(
+            "integrator.box_bias (box-shape metadynamics) needs the "
+            "two-arg box-coupled integrator factory, which only the "
+            "single-replica standard/well_tempered sampler supports")
 
     # --- metadynamics ----------------------------------------------------
     grid = _grid_from_cfg(cvs_cfg, mcfg)
@@ -493,7 +536,18 @@ def build_sampler(cfg: dict, resume: bool = False):
         for d, (cv, c) in enumerate(zip(cvs, cvs_cfg)):
             if c["kind"] == "wte":
                 continue
-            v = float(cv.value(state, system))
+            if getattr(cv, "nested", False):
+                # nested FFT islands only run inside the walker-manual
+                # region; validate with the mathematically identical
+                # single-device PackedMesh on the global state instead
+                from .cv.packed import PackedMesh
+                twin = PackedMesh.create(
+                    cv.mesh_shape, None, n_real=cv.n_real, k0=cv.k0,
+                    width=cv.width, name=cv.name,
+                    assign_order=cv.assign_order)
+                v = float(twin.value(state, system))
+            else:
+                v = float(cv.value(state, system))
             margin = 0.05 * (hi[d] - lo[d])
             if v < lo[d] - margin or v > hi[d] + margin:
                 raise ValueError(
@@ -542,36 +596,13 @@ def build_sampler(cfg: dict, resume: bool = False):
     # sweeps + grid interpolation every k steps, bias force held between
     bias_every = int(mcfg.get("bias_every", 1))
 
-    if mode == "flux_tempered":
-        assert add_hills, (
-            "add_hills: false is a hill-deposition concept; flux-tempered "
-            "mode rebuilds its bias from histograms instead — use a long "
-            "update_period (or standard mode + restart_from_grid) to hold "
-            "the bias static")
-        assert grid is not None, "flux-tempered mode needs a CV grid"
-        sampler = FluxTemperedSampler(
-            system, state, engine, cvs=cvs, grid_spec=grid,
-            initial_bias=initial_bias,
-            integrator_factory=integ, kT=kT,
-            stride=int(mcfg["stride"]),
-            update_period=int(mcfg.get("update_period", 20)),
-            seed=int(cfg.get("seed", 0)), walls=walls,
-            update_rule=mcfg.get("update_rule", "flux"),
-            gain0=float(mcfg.get("gain0", 0.5)),
-            gain_halflife=int(mcfg.get("gain_halflife", 20)),
-            bias_every=bias_every)
-        return sampler, cfg
-
-    hills = HillSpec.create(
-        W=float(mcfg["W"]), stride=int(mcfg["stride"]),
-        mode=mode, deltaT=float(mcfg.get("deltaT", 1.0)))
-
-    if n_walkers > 1:
+    def _stacked_walker_states():
+        """Initial state replicated per walker (fresh velocities each) and
+        the walker device mesh — the product mesh from the engine section
+        when spatial_devices is set, a plain ("walkers",) mesh otherwise."""
         import jax as _jax
-        assert grid is not None, "multi-walker mode needs a CV grid"
-        assert bias_every == 1, (
-            "bias_every is not supported in multi-walker mode yet")
-        # replicate the initial state per walker with per-walker velocities
+        from jax.sharding import Mesh
+
         def re_vel(w):
             r2 = np.random.default_rng(1000 + w)
             v = r2.normal(0, np.sqrt(kT), (n, 3)).astype(np.float32)
@@ -591,22 +622,67 @@ def build_sampler(cfg: dict, resume: bool = False):
                 lambda *xs: jnp.stack(xs),
                 *[make_state(pos, box, vel=re_vel(w))
                   for w in range(n_walkers)])
-        from jax.sharding import Mesh
+        if wmesh is not None:
+            return states, wmesh
         devs = _jax.devices()
         assert len(devs) >= n_walkers, (
             f"{n_walkers} walkers need {n_walkers} devices, "
             f"have {len(devs)}")
+        return states, Mesh(np.asarray(devs[:n_walkers]), ("walkers",))
+
+    if mode == "flux_tempered":
+        assert add_hills, (
+            "add_hills: false is a hill-deposition concept; flux-tempered "
+            "mode rebuilds its bias from histograms instead — use a long "
+            "update_period (or standard mode + restart_from_grid) to hold "
+            "the bias static")
+        assert grid is not None, "flux-tempered mode needs a CV grid"
+        fkw = dict(
+            initial_bias=initial_bias,
+            integrator_factory=integ, kT=kT,
+            stride=int(mcfg["stride"]),
+            update_period=int(mcfg.get("update_period", 20)),
+            seed=int(cfg.get("seed", 0)), walls=walls,
+            update_rule=mcfg.get("update_rule", "flux"),
+            gain0=float(mcfg.get("gain0", 0.5)),
+            gain_halflife=int(mcfg.get("gain_halflife", 20)),
+            bias_every=bias_every,
+            # equilibration gate (reference: bias rebuilt "after
+            # equilibration criterion", SURVEY.md §3.4) — default ON
+            min_round_trips=int(mcfg.get("min_round_trips", 1)),
+            max_defer_periods=int(mcfg.get("max_defer_periods", 4)))
+        if n_walkers > 1:
+            # multi-walker flux tempering: W replicas under the shared
+            # bias, visit/crossing histograms pooled at every update
+            # (previously this combination was SILENTLY ignored — the
+            # round-4 weak #1)
+            states, fmesh = _stacked_walker_states()
+            sampler = FluxTemperedSampler(
+                system, states, engine, cvs=cvs, grid_spec=grid,
+                mesh=fmesh, **fkw)
+        else:
+            sampler = FluxTemperedSampler(
+                system, state, engine, cvs=cvs, grid_spec=grid, **fkw)
+        return sampler, cfg
+
+    hills = HillSpec.create(
+        W=float(mcfg["W"]), stride=int(mcfg["stride"]),
+        mode=mode, deltaT=float(mcfg.get("deltaT", 1.0)))
+
+    if n_walkers > 1:
+        assert grid is not None, "multi-walker mode needs a CV grid"
+        states, wk_mesh = _stacked_walker_states()
         sampler = WalkerSampler(
             system, states, engine, cvs=cvs, grid_spec=grid, hills=hills,
             initial_bias=initial_bias,
             integrator_factory=integ,
-            mesh=(wmesh if wmesh is not None
-                  else Mesh(np.asarray(devs[:n_walkers]), ("walkers",))),
+            mesh=wk_mesh,
             seed=int(cfg.get("seed", 0)), walls=walls,
             hill_file=out_cfg.get("hill_file"),
             overwrite=hill_overwrite,
             chunks_per_block=int(cfg.get("chunks_per_block", 16)),
-            add_hills=add_hills)
+            add_hills=add_hills,
+            bias_every=bias_every)
         return sampler, cfg
 
     sampler = MetadSampler(

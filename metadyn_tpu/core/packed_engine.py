@@ -83,6 +83,13 @@ class PackedEngine:
             # short; the Pallas kernels are LJ+FENE-specialized)
             use_pallas = False
         self.use_pallas = use_pallas
+        # live per-step energy/virial?  The Pallas inner kernel skips the
+        # accumulation unless with_energy; the XLA roll path always
+        # computes it.  Consumers that read state.virial/.potential_energy
+        # between stride boundaries (SCR-NPT, the WTE energy CV) check
+        # this flag and fail loudly instead of integrating against zeros.
+        self.virial_live = self.energy_live = bool(with_energy
+                                                   or not use_pallas)
         if use_pallas:
             # Newton-halved kernel; inner MD steps skip the energy/virial
             # accumulation unless with_energy

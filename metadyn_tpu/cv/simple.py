@@ -79,6 +79,10 @@ class PotentialEnergyCV:
 
     name: str = struct.field(pytree_node=False, default="U")
 
+    # sampler loud-check marker: this CV reads state.potential_energy
+    # between stride boundaries, so the engine must refresh it per step
+    needs_live_energy = True
+
     @property
     def log_name(self) -> str:
         return f"cv_{self.name}"

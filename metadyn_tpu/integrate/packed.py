@@ -91,6 +91,7 @@ def make_packed_npt_scr_step(
     anisotropic: bool = False,
     box_bias_fn=None,
     kappa: float = 0.1, mass: float = 1.0,
+    engine=None,
 ) -> PackedStepFn:
     """BAOAB Langevin + stochastic-cell-rescaling barostat on the packed
     hot path (cf. integrate/npt.py — same Bernetti–Bussi SCR scheme).
@@ -109,7 +110,20 @@ def make_packed_npt_scr_step(
     compression can push the cell width below r_cut+skin.  Guarded by a
     ``nlist_stale``-style check folded into the metrics via the repack
     criterion; size the grid with headroom for the expected density.
+
+    Pass the ``engine`` the ``force_fn`` came from to get a LOUD check
+    that its inner force path produces a live per-step virial: the
+    Pallas inner kernels (``use_pallas``/``pair_pallas`` without
+    ``with_energy``) return virial=0, and a barostat silently
+    integrating against zero virial expands the box into vacuum
+    (round-4 advisor).  The CLI always passes it.
     """
+    if engine is not None:
+        assert getattr(engine, "virial_live", True), (
+            "make_packed_npt_scr_step: this engine's inner force path "
+            "skips the energy/virial accumulation (Pallas forces-only "
+            "kernel), so the barostat would read virial=0 every step. "
+            "Construct the engine with with_energy=True.")
     c1 = jnp.exp(-gamma * dt)
     c2 = jnp.sqrt((1.0 - c1 * c1) * kT / mass)
 

@@ -504,6 +504,11 @@ class SpatialPackedEngine(PackedEngine):
         if with_energy:
             pair_pallas = False
         self.pair_pallas = pair_pallas
+        # the XLA sharded path psums interior-masked energy/virial on
+        # every call; the Pallas inner kernel is forces-only (round-4
+        # advisor: a library caller wiring SCR-NPT or an energy CV onto a
+        # pair_pallas engine must fail loudly, not read zeros)
+        self.virial_live = self.energy_live = not pair_pallas
         sharded_force = make_sharded_lj_force(spec, mesh, axis,
                                               nested=nested,
                                               pair_pallas=pair_pallas)

@@ -29,7 +29,9 @@ from ..core.state import System
 from ..bias.grid import GridSpec, hill_field, value_and_grad
 from ..bias.metad import BiasState, HillSpec, hill_height
 from ..io.hill_log import HillLog
-from ..sampler import cv_stack, make_biased_force, _CallableEngine
+from ..sampler import (
+    cv_stack, make_biased_force, make_bias_force_parts, _CallableEngine,
+)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None):
@@ -69,6 +71,7 @@ def make_walker_chunk(
     walls=None,
     cv_hist_spec: Optional[GridSpec] = None,
     add_hills: bool = True,
+    bias_every: int = 1,
 ):
     """Per-walker stride chunk (runs inside shard_map on ONE walker).
 
@@ -79,11 +82,27 @@ def make_walker_chunk(
     F̂ = −V̄ − kT·ln h (see :meth:`WalkerSampler.free_energy`).  The
     histogram re-evaluates the CV stack once per MD step: negligible for
     cheap CVs; opt-in because packed order CVs would double their sweeps.
-    """
+
+    ``bias_every`` > 1 is the same bias-force multiple-time-stepping as
+    :class:`MetadSampler` (sampler.make_stride_chunk): the CV sweeps +
+    ∂V/∂s run once per ``bias_every`` MD steps with the bias force held
+    constant in between (exact pair/bond forces every step).  It is
+    walker-LOCAL — the hill-field psum still only happens at the stride
+    tail, so MTS and walker sync compose orthogonally (the reference's
+    partitions place no constraint on the bias cadence either).  The CV
+    visit histogram then subsamples at the same cadence (weight
+    ``bias_every`` per eval), which preserves the h-ratios the
+    reweighted estimator consumes."""
     biased_force = make_biased_force(engine, cvs, system, walls)
     r = min(engine.rebuild_every, hills.stride)
     assert hills.stride % r == 0
     n_blocks = hills.stride // r
+    if bias_every > 1:
+        assert r % bias_every == 0, (
+            f"bias_every={bias_every} must divide "
+            f"min(rebuild_every, stride)={r}")
+    eval_bias, apply_force = make_bias_force_parts(engine, cvs, system,
+                                                   walls)
 
     def chunk(state, aux, key, step, bias: BiasState):
         hist0 = None
@@ -97,6 +116,27 @@ def make_walker_chunk(
         def block(c, b):
             st, ax, hs = c
             st, ax = engine.rebuild(st, ax)
+            if bias_every > 1:
+                def sub(inner, j):
+                    st, hs = inner
+                    g, dVds, sv = eval_bias(st, ax, bias)
+                    if cv_hist_spec is not None:
+                        hs = hs.at[_nearest_node(cv_hist_spec, sv)].add(
+                            float(bias_every))
+                    force_fn = lambda s2: apply_force(s2, ax, g, dVds)
+                    step_fn = integrator_factory(force_fn)
+
+                    def body(s2, i):
+                        k = jax.random.fold_in(
+                            key, step + b * r + j * bias_every + i)
+                        return step_fn(s2, k), None
+
+                    st, _ = jax.lax.scan(body, st, jnp.arange(bias_every))
+                    return (st, hs), None
+
+                (st, hs), _ = jax.lax.scan(
+                    sub, (st, hs), jnp.arange(r // bias_every))
+                return (st, ax, hs), None
             step_fn = integrator_factory(lambda s: biased_force(s, ax, bias))
 
             def body(carry, i):
@@ -176,12 +216,16 @@ class WalkerSampler:
         chunks_per_block: int = 16,
         measure_cv_hist: bool = False,
         add_hills: bool = True,
+        bias_every: int = 1,
     ):
         """``measure_cv_hist=True`` accumulates the walker-summed per-step
         CV visit histogram on device (one extra CV eval per step — meant
         for cheap CVs / convergence oracles).  Call
         :meth:`begin_measurement` after the transient, then
-        :meth:`free_energy` returns the histogram-reweighted estimate."""
+        :meth:`free_energy` returns the histogram-reweighted estimate.
+
+        ``bias_every`` > 1 enables per-walker bias-force MTS (see
+        :func:`make_walker_chunk`)."""
         if not hasattr(engine, "force_into"):
             engine = _CallableEngine(engine, system)
         devices = np.asarray(jax.devices())
@@ -196,7 +240,7 @@ class WalkerSampler:
         chunk = make_walker_chunk(
             engine, cvs, system, hills, integrator_factory, walls=walls,
             cv_hist_spec=grid_spec if measure_cv_hist else None,
-            add_hills=add_hills)
+            add_hills=add_hills, bias_every=bias_every)
 
         def run_one(state, aux, key, step, bias):
             # squeeze the per-device walker axis (1 walker per device)

@@ -108,6 +108,14 @@ def make_bias_force_parts(engine, cvs, system: System,
     :func:`make_biased_force` composes them per step; the multiple-time-
     stepping chunk (``bias_every`` > 1) calls ``eval_bias`` once per
     sub-chunk and holds ``g`` constant across the cheap inner steps."""
+    # loud check (round-4 advisor): an energy CV on an engine whose inner
+    # force path skips the energy accumulation (Pallas forces-only) would
+    # silently bias against a frozen/zero potential_energy
+    if any(getattr(cv, "needs_live_energy", False) for cv in cvs):
+        assert getattr(engine, "energy_live", True), (
+            "PotentialEnergyCV (WTE) reads state.potential_energy every "
+            "bias evaluation, but this engine's inner force path skips "
+            "the energy accumulation. Construct it with with_energy=True.")
     analytic = all(hasattr(cv, "accum_bias_force") for cv in cvs)
     # CVs with explicit box dependence supply a per-axis (3,) bias virial
     # (W = −dE_bias/dλ under uniform scaling) — e.g. the mesh CV's k-space

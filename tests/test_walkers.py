@@ -320,3 +320,75 @@ def test_walkers_add_hills_false_frozen_bias():
                           np.asarray(seeded.grid.V))
     assert int(s2.bias.n_hills) == int(seeded.n_hills)
     assert all(float(np.max(np.abs(m["hill_height"]))) == 0.0 for m in out)
+
+
+@pytest.mark.smoke
+def test_walker_bias_every_mts():
+    """bias_every > 1 in MULTI-WALKER mode (round-4 VERDICT missing #1c):
+    the per-walker CV sweep + ∂V/∂s run once per bias_every steps with
+    the bias force held in between — walker-LOCAL, composing orthogonally
+    with the stride-tail hill psum.  At small dt the MTS run tracks the
+    exact-cadence run closely; the subsampled visit histogram keeps the
+    per-(step, walker) normalization."""
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.ops.packed import PackedSpec
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.utils.lattice import fcc_lattice
+
+    a = 1.7
+    pos = fcc_lattice(6, a)
+    n = pos.shape[0]
+    L = 6 * a
+    box = Box.cubic(L)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False)
+    system = make_system(n)
+    cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="a")
+    amps = np.ones(n, np.float32)
+
+    def build(bias_every):
+        engine = PackedEngine(spec, rebuild_every=5, use_pallas=False)
+
+        def pack_one(w):
+            rng = np.random.default_rng(w)
+            vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+            vel -= vel.mean(axis=0)
+            st, ovf = engine.pack_state(
+                pos, box, jnp.zeros(n, jnp.int32), eps_i=jnp.ones(n),
+                sigma_i=jnp.ones(n), vel=vel,
+                extra_attrs={cv.attr_name: amps})
+            assert not bool(ovf)
+            return st
+
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[pack_one(w) for w in range(2)])
+        return WalkerSampler(
+            system, states, engine, cvs=[cv],
+            grid_spec=GridSpec.create([-0.3], [0.3], [41], [0.01]),
+            hills=HillSpec.create(W=0.1, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.001, kT=1.0, gamma=1.0),
+            seed=0, chunks_per_block=1, measure_cv_hist=True,
+            mesh=jax.sharding.Mesh(np.asarray(jax.devices()[:2]),
+                                   ("walkers",)),
+            bias_every=bias_every)
+
+    s1 = build(1)
+    s1.begin_measurement()
+    h1 = s1.run(50)
+    s5 = build(5)
+    s5.begin_measurement()
+    h5 = s5.run(50)
+
+    assert int(s5.bias.n_hills) == int(s1.bias.n_hills) == 4
+    # subsampled histogram preserves the per-(step, walker) total
+    assert float(s5._meas_h.sum()) == float(s1._meas_h.sum()) == 2 * 50
+    # at dt=1e-3 over 50 steps the held-force approximation is tiny
+    np.testing.assert_allclose(np.asarray(h5[-1]["cv"]),
+                               np.asarray(h1[-1]["cv"]),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s5.bias.grid.V),
+                               np.asarray(s1.bias.grid.V),
+                               rtol=1e-3, atol=1e-5)
