@@ -24,7 +24,10 @@ Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is against the same 50M north star for context (the north
 star itself is defined on the 2-CV lamellar bench, BASELINE.json:2,5).
 """
+import argparse
+import datetime
 import json
+import os
 import sys
 import time
 
@@ -50,11 +53,20 @@ from metadyn_tpu.utils.lattice import fcc_lattice
 BASELINE = 50e6
 
 
-def run_once(cap: int):
+def run_once(cap: int, dd: bool = False, order_pallas: bool = True):
     """One measured bench pass at the given cell capacity.
 
     Returns (rate, ok) — ok=False when the run-validity guard trips
-    (overflow/NaN), in which case rate is meaningless."""
+    (overflow/NaN), in which case rate is meaningless.
+
+    ``dd=True`` runs the SAME workload through the spatial-DD engine on
+    a 1-device ``("space",)`` mesh — the DD-tax probe: all the halo
+    machinery executes (ghost ppermutes, interior masks, sharded
+    repack) with zero real communication, so (single-chip rate − this)
+    is the decomposition overhead.  ``order_pallas`` toggles the
+    round-5 Pallas order-CV islands (parallel/spatial.py
+    make_sharded_order_parts); the lagged fused kernel (mts_lag) is
+    single-device-only, so DD runs use plain bias-force MTS."""
     rho = 0.95                         # supercooled: nucleation regime
     a = (4.0 / rho) ** (1.0 / 3.0)
     n_cells = 25
@@ -66,7 +78,14 @@ def run_once(cap: int):
     spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.3, cap=cap,
                              shift_energy=False, uniform_sigma=1.0,
                              uniform_eps=1.0)
-    engine = PackedEngine(spec, rebuild_every=10)
+    if dd:
+        from jax.sharding import Mesh
+        from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+        mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
+        engine = SpatialPackedEngine(spec, mesh, rebuild_every=10,
+                                     order_pallas=order_pallas)
+    else:
+        engine = PackedEngine(spec, rebuild_every=10)
     system = make_system(n)
     rng = np.random.default_rng(0)
     vel = rng.normal(0.0, np.sqrt(kT), (n, 3)).astype(np.float32)
@@ -95,7 +114,7 @@ def run_once(cap: int):
         # 64k-atom CVs drift negligibly over 10 steps (≪ hill σ) — the
         # PLUMED MULTIPLE_TIME_STEP approximation, with the trailing
         # force call of each sub-chunk fused into one Pallas traversal
-        bias_every=10, mts_lag=True)
+        bias_every=10, mts_lag=not dd)
 
     sampler.run(stride * 2)            # compile + settle
     sampler.run(stride * 2)            # 2nd dispatch: axon steady state
@@ -114,11 +133,66 @@ def run_once(cap: int):
     return rate, ok
 
 
-def main():
-    rate, ok = run_once(cap=32)
+def _measure(dd: bool = False, order_pallas: bool = True):
+    rate, ok = run_once(cap=32, dd=dd, order_pallas=order_pallas)
     if not ok:
         # occupancy cliff: retry once with sublane headroom (see docstring)
-        rate, ok = run_once(cap=36)
+        rate, ok = run_once(cap=36, dd=dd, order_pallas=order_pallas)
+    return rate, ok
+
+
+def record(path: str = "BENCH_LOCAL.json"):
+    """Machine-readable local-benchmark ledger (round-4 VERDICT weak #3:
+    perf numbers drifted between PARITY.md and commit messages).  One
+    JSON file, regenerated by ``python bench_config3.py --record``;
+    PARITY.md and README cite it instead of carrying numbers inline."""
+    entries = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            entries = json.load(f)
+    stamp = datetime.date.today().isoformat()
+    shape = "64k LJ rho=0.95, Q6+coordination 2-D WT grid, stride 100"
+
+    r, ok = _measure()
+    assert ok, "config3 run invalid"
+    entries["config3_lagged_mts"] = {
+        "value": round(r, 0), "unit": "particle-steps/s/chip",
+        "date": stamp, "shape": shape + ", bias_every=10 mts_lag",
+        "vs_baseline": round(r / BASELINE, 4)}
+
+    r_dd, ok = _measure(dd=True, order_pallas=True)
+    assert ok, "dd run invalid"
+    entries["config3_dd_1dev_order_pallas"] = {
+        "value": round(r_dd, 0), "unit": "particle-steps/s/chip",
+        "date": stamp,
+        "shape": shape + ", SpatialPackedEngine 1-device mesh, "
+        "bias_every=10 (no lag), Pallas pair+order islands"}
+
+    r_dx, ok = _measure(dd=True, order_pallas=False)
+    assert ok, "dd/xla run invalid"
+    entries["config3_dd_1dev_xla_order"] = {
+        "value": round(r_dx, 0), "unit": "particle-steps/s/chip",
+        "date": stamp,
+        "shape": shape + ", SpatialPackedEngine 1-device mesh, "
+        "bias_every=10, GSPMD order sweep (pre-round-5 path)"}
+
+    with open(path, "w") as f:
+        json.dump(entries, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(entries, indent=1, sort_keys=True))
+    return 0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--record", action="store_true",
+                    help="measure all Config-3 variants (single-chip "
+                    "lagged, DD 1-device Pallas/XLA) and write "
+                    "BENCH_LOCAL.json")
+    args = ap.parse_args()
+    if args.record:
+        return record()
+    rate, ok = _measure()
     if not ok:
         print(json.dumps({"metric": "config3_q6_coord_particle_steps_per_sec",
                           "value": 0.0, "unit": "particle-steps/s",

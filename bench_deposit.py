@@ -114,6 +114,22 @@ def main():
         "stride": STRIDE,
     }
     print(json.dumps(out))
+    if "--record" in sys.argv:
+        # append to the machine-readable local ledger (BENCH_LOCAL.json;
+        # see bench_config3.record) so PARITY.md cites one artifact
+        import datetime
+        import os
+        path = "BENCH_LOCAL.json"
+        entries = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                entries = json.load(f)
+        entries["hill_deposit"] = {
+            **out, "date": datetime.date.today().isoformat(),
+            "shape": "64k LJ liquid, 2 lamellar CVs, 2-D WT grid"}
+        with open(path, "w") as f:
+            json.dump(entries, f, indent=1, sort_keys=True)
+            f.write("\n")
     return 0
 
 

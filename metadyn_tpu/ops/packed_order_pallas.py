@@ -101,11 +101,17 @@ def _pair_geom(x_i, y_i, z_i, v_i, xr, yr, zr, vr, sentinel: bool):
     return dx, dy, dz, r2, w
 
 
-def _values_kernel(*refs, cap: int, cvs, n_terms: int, sentinel: bool):
+def _values_kernel(*refs, cap: int, cvs, n_terms: int, sentinel: bool,
+                   masked: bool = False):
     refs = list(refs)
     xi, yi, zi = refs[:3]
     del refs[:3]
     vi = None if sentinel else refs.pop(0)
+    # per-CELL i-side weight (spatial DD: interior=1, ghost=0 — each
+    # global pair then counted on exactly ONE device, because the
+    # half-offset enumeration assigns a boundary pair the same i cell on
+    # both sides of the exchange)
+    im = refs.pop(0) if masked else None
     xj, yj, zj = refs[:3]
     del refs[:3]
     vj = None if sentinel else refs.pop(0)
@@ -125,6 +131,8 @@ def _values_kernel(*refs, cap: int, cvs, n_terms: int, sentinel: bool):
     # self offset enumerates both orders, weight 1 (the half-sweep
     # conventions of cv/packed_order._offset_pair_sweep)
     wt = jnp.where(o == 0, 1.0, 2.0)
+    if im is not None:
+        wt = wt * im[0:1, :]
 
     CH = 8
     assert cap % CH == 0
@@ -247,10 +255,14 @@ def _padded_inputs(state, spec, stacks, vi, cap8, Cpad):
 
 
 def order_values_pallas(state: PackedState, spec: PackedSpec, cvs,
-                        stacks=None):
+                        stacks=None, cell_mask=None):
     """Newton-halved order-CV value sweep on TPU.  Returns (terms, stacks)
     with ``terms`` structured exactly like the XLA sweep's and ``stacks``
-    reusable by :func:`order_force_pallas` within the same step."""
+    reusable by :func:`order_force_pallas` within the same step.
+
+    ``cell_mask`` (C,) weights every pair by its i-CELL — the spatial-DD
+    hook: interior=1/ghost=0 on a halo-extended local grid counts each
+    global pair on exactly one device (see _values_kernel)."""
     sentinel = spec.uniform_eps is not None
     if stacks is None:
         stacks = _order_stacks(state, spec)
@@ -259,17 +271,28 @@ def order_values_pallas(state: PackedState, spec: PackedSpec, cvs,
     assert n_terms <= 128, "too many CV terms for one lane vector"
     cap8, n_ct, CT, Cpad = _tile(spec, live_rows=140)
     const, slabs = _padded_inputs(state, spec, raw, vi, cap8, Cpad)
+    if cell_mask is not None:
+        mask8 = jnp.broadcast_to(
+            jnp.pad(jnp.asarray(cell_mask, jnp.float32),
+                    (0, Cpad - spec.n_cells))[None, :], (8, Cpad))
+        const = const + [mask8]
 
     const_spec = pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct),
                               memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((8, CT), lambda ct, o: (0, ct),
+                             memory_space=pltpu.VMEM)
     slab_spec = pl.BlockSpec((1, cap8, CT), lambda ct, o: (o, 0, ct),
                              memory_space=pltpu.VMEM)
     kern = functools.partial(_values_kernel, cap=cap8, cvs=tuple(cvs),
-                             n_terms=n_terms, sentinel=sentinel)
+                             n_terms=n_terms, sentinel=sentinel,
+                             masked=cell_mask is not None)
     [out] = pl.pallas_call(
         kern,
         grid=(n_ct, 14),
-        in_specs=[const_spec] * len(const) + [slab_spec] * len(slabs),
+        in_specs=([const_spec] * (len(const) - (1 if cell_mask is not None
+                                                else 0))
+                  + ([mask_spec] if cell_mask is not None else [])
+                  + [slab_spec] * len(slabs)),
         out_specs=[pl.BlockSpec((1, 128), lambda ct, o: (0, 0),
                                 memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((1, 128), jnp.float32)],

@@ -159,10 +159,20 @@ def make_bias_force_parts(engine, cvs, system: System,
         tbl_values, tbl_force = make_table_order_force(
             list(cvs), engine.spec)
     if fused:
-        from .cv.packed_order import make_fused_order_force
-        fused_values, fused_force = make_fused_order_force(
-            list(cvs), engine.spec,
-            use_pallas=getattr(engine, "use_pallas", False))
+        # spatial engines provide the sweeps as Pallas islands on the
+        # halo-extended local grid (parallel.spatial.make_sharded_order_
+        # parts) — same fused-path contract, closes the DD sweep tax
+        sharded_order = (engine.make_order_parts(list(cvs))
+                         if (not table
+                             and hasattr(engine, "make_order_parts"))
+                         else None)
+        if sharded_order is not None:
+            fused_values, fused_force = sharded_order
+        else:
+            from .cv.packed_order import make_fused_order_force
+            fused_values, fused_force = make_fused_order_force(
+                list(cvs), engine.spec,
+                use_pallas=getattr(engine, "use_pallas", False))
 
     def grad_with_walls(bias, s):
         _, dVds = bias_value_and_grad(bias, s)

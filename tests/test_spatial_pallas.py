@@ -80,3 +80,65 @@ def test_spatial_pair_pallas_matches_xla(sentinel, dd):
     scale = np.abs(f_x).max()
     np.testing.assert_allclose(f_p, f_x, rtol=1e-4, atol=1e-5 * scale)
     np.testing.assert_allclose(e_p, e_x, rtol=1e-5)
+
+
+@pytest.mark.parametrize("sentinel", [False, True],
+                         ids=["general", "sentinel"])
+def test_sharded_order_parts_match_gspmd_sweep(sentinel):
+    """Pallas order-CV sweeps inside the spatial island
+    (make_sharded_order_parts) == the GSPMD XLA roll sweep: values (via
+    the interior-cell pair mask + psum) and bias forces (ghost-discard)
+    — the round-4 DD-tax closer, correctness side."""
+    import metadyn_tpu.ops.packed_order_pallas as pop
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed_order import (PackedSteinhardtQl,
+                                             PackedCoordination,
+                                             make_fused_order_force)
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+
+    a_lat = 1.62
+    pos = fcc_lattice(8, a_lat)       # cx = 6 cells: divisible by 2
+    n = pos.shape[0]
+    L = 8 * a_lat
+    rng = np.random.default_rng(7)
+    pos = (pos + rng.normal(0, 0.05, pos.shape)).astype(np.float32)
+    box = Box.cubic(L)
+    system = make_system(n)
+    nn = a_lat / np.sqrt(2)
+    kw = dict(uniform_sigma=1.0, uniform_eps=1.0) if sentinel else {}
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False, **kw)
+    cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6"),
+           PackedCoordination(spec=spec, r0=nn * 1.35,
+                              r_cut=nn * 1.35 * 1.5, name="co")]
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    engine = SpatialPackedEngine(spec, mesh, rebuild_every=5,
+                                 order_pallas=True)
+    st, ovf = engine.pack_state(pos, box, np.zeros(n, np.int32),
+                                eps_i=np.ones(n, np.float32),
+                                sigma_i=np.ones(n, np.float32))
+    assert not bool(ovf)
+
+    xla_values, xla_force = make_fused_order_force(cvs, spec,
+                                                   use_pallas=False)
+    dVds = jnp.asarray([0.7, -0.3], jnp.float32)
+    s_ref = jax.jit(lambda s: xla_values(s)[0])(st)
+    g_ref = jax.jit(
+        lambda s: xla_force(s, xla_values(s)[1], dVds))(st)
+
+    orig = pl.pallas_call
+    pop.pl.pallas_call = lambda *ar, **k: orig(*ar, **{**k,
+                                                       "interpret": True})
+    try:
+        values_fn, force_fn = engine.make_order_parts(cvs)
+        s_dd = jax.jit(lambda s: values_fn(s)[0])(st)
+        g_dd = jax.jit(
+            lambda s: force_fn(s, values_fn(s)[1], dVds))(st)
+    finally:
+        pop.pl.pallas_call = orig
+
+    np.testing.assert_allclose(np.asarray(s_dd), np.asarray(s_ref),
+                               rtol=5e-5, atol=1e-6)
+    scale = float(np.abs(np.asarray(g_ref)).max())
+    np.testing.assert_allclose(np.asarray(g_dd), np.asarray(g_ref),
+                               rtol=1e-3, atol=2e-5 * scale)
