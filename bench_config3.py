@@ -78,7 +78,14 @@ def run_once(cap: int, dd: bool = False, order_pallas: bool = True):
     spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.3, cap=cap,
                              shift_energy=False, uniform_sigma=1.0,
                              uniform_eps=1.0)
-    if dd:
+    if dd == "2d":
+        from jax.sharding import Mesh
+        from metadyn_tpu.parallel.spatial2d import SpatialPackedEngine2D
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                    ("spacex", "spacey"))
+        engine = SpatialPackedEngine2D(spec, mesh, rebuild_every=10,
+                                       order_pallas=order_pallas)
+    elif dd:
         from jax.sharding import Mesh
         from metadyn_tpu.parallel.spatial import SpatialPackedEngine
         mesh = Mesh(np.asarray(jax.devices()[:1]), ("space",))
@@ -175,6 +182,14 @@ def record(path: str = "BENCH_LOCAL.json"):
         "date": stamp,
         "shape": shape + ", SpatialPackedEngine 1-device mesh, "
         "bias_every=10, GSPMD order sweep (pre-round-5 path)"}
+
+    r_2d, ok = _measure(dd="2d", order_pallas=True)
+    assert ok, "2d dd run invalid"
+    entries["config3_dd2d_1x1dev_order_pallas"] = {
+        "value": round(r_2d, 0), "unit": "particle-steps/s/chip",
+        "date": stamp,
+        "shape": shape + ", SpatialPackedEngine2D (1,1) mesh, "
+        "bias_every=10, Pallas pair+order islands (two-hop halos)"}
 
     with open(path, "w") as f:
         json.dump(entries, f, indent=1, sort_keys=True)

@@ -216,6 +216,123 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
     return force
 
 
+def make_sharded_order_parts_2d(cvs, spec: PackedSpec, mesh: Mesh,
+                                axes=("spacex", "spacey"),
+                                nested: bool = False):
+    """Pallas order-CV sweeps inside the 2-D spatial island — the 2-D
+    twin of ``parallel.spatial.make_sharded_order_parts`` (same fused-
+    path contract and the same two correctness arguments: interior-cell
+    pair masking + psum for values, ghost-discard for forces), with the
+    two-hop corner-carrying halo extension of this module."""
+    from ..ops.packed_order_pallas import (order_values_pallas,
+                                           order_force_pallas)
+    ax, ay = axes
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    n_x, n_y = mesh.shape[ax], mesh.shape[ay]
+    assert cx % n_x == 0 and cy % n_y == 0
+    cx_l, cy_l = cx // n_x, cy // n_y
+    cx_e, cy_e = cx_l + 2, cy_l + 2
+    C_l = cx_l * cy_l * cz
+    spec_ext = spec.replace(cells_per_dim=(cx_e, cy_e, cz))
+    interior = np.zeros((cx_e, cy_e, cz), np.float32)
+    interior[1:-1, 1:-1, :] = 1.0
+    interior = jnp.asarray(interior.reshape(-1))
+
+    def ext_state(r, pid, box_L, ix, iy):
+        cols = [r[d] for d in range(3)] + [pid.astype(jnp.float32)]
+        v = jnp.stack([c.reshape(cap, cx_l, cy_l, cz) for c in cols])
+        ext = _ext_columns(v, box_L, ix, iy, ax, ay, n_x, n_y,
+                           x_comp=0, y_comp=1)
+        npad_ext = cap * cx_e * cy_e * cz
+        r_ext = jnp.stack([ext[d].reshape(cap, -1) for d in range(3)]) \
+            .reshape(3, -1)
+        return PackedState(
+            r=r_ext, v=jnp.zeros((3, npad_ext)),
+            f=jnp.zeros((3, npad_ext)),
+            image=jnp.zeros((3, npad_ext), jnp.int32),
+            ref_r=r_ext,
+            pid=ext[3].astype(jnp.int32).reshape(-1),
+            typ=jnp.zeros(npad_ext, jnp.int32),
+            slot_of=jnp.zeros(1, jnp.int32),
+            attrs={},
+            box=Box(L=box_L),
+            potential_energy=jnp.float32(0.0),
+            virial=jnp.zeros(3, jnp.float32))
+
+    def local_values(r, pid, box_L, six, siy):
+        st_ext = ext_state(r, pid, box_L, six[0], siy[0])
+        terms, _ = order_values_pallas(st_ext, spec_ext, cvs,
+                                       cell_mask=interior)
+        return jax.tree.map(lambda x: jax.lax.psum(x, (ax, ay)), terms)
+
+    def local_force(r, pid, box_L, six, siy, aux_flat):
+        st_ext = ext_state(r, pid, box_L, six[0], siy[0])
+        auxs = []
+        i = 0
+        for cv in cvs:
+            auxs.append(cv.aux_from_flat(
+                [aux_flat[i + k] for k in range(cv.aux_size)]))
+            i += cv.aux_size
+        g = order_force_pallas(st_ext, spec_ext, cvs, auxs)
+        g = g.reshape(3, cap, cx_e, cy_e, cz)[:, :, 1:-1, 1:-1]
+        return g.reshape(3, cap, cx_l, cy_l, cz)
+
+    iota_x = jnp.arange(n_x, dtype=jnp.int32)
+    iota_y = jnp.arange(n_y, dtype=jnp.int32)
+    values_island = _shard_map(
+        local_values, None if nested else mesh,
+        in_specs=(P(None, None, ax, ay, None), P(None, ax, ay, None),
+                  P(), P(ax), P(ay)),
+        out_specs=P(),
+        axis_names=(ax, ay) if nested else None, check_vma=False)
+    force_island = _shard_map(
+        local_force, None if nested else mesh,
+        in_specs=(P(None, None, ax, ay, None), P(None, ax, ay, None),
+                  P(), P(ax), P(ay), P()),
+        out_specs=P(None, None, ax, ay, None),
+        axis_names=(ax, ay) if nested else None, check_vma=False)
+
+    def values_fn(state: PackedState):
+        terms = values_island(state.r.reshape(3, cap, cx, cy, cz),
+                              state.pid.reshape(cap, cx, cy, cz),
+                              state.box.L, iota_x, iota_y)
+        s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
+        return s, (terms, None)
+
+    def force_fn(state: PackedState, ctx, dVds):
+        terms, _ = ctx
+        auxs = [cv.grad_aux(t, dVds[i])
+                for i, (cv, t) in enumerate(zip(cvs, terms))]
+        flat = []
+        for cv, aux in zip(cvs, auxs):
+            flat.extend(cv.aux_flat(aux))
+        aux_arr = jnp.stack([jnp.asarray(a, jnp.float32) for a in flat])
+        g = force_island(state.r.reshape(3, cap, cx, cy, cz),
+                         state.pid.reshape(cap, cx, cy, cz),
+                         state.box.L, iota_x, iota_y, aux_arr)
+        return g.reshape(3, cap * C)
+
+    return values_fn, force_fn
+
+
+def _ext_columns(v, box_L, ix, iy, ax, ay, n_x, n_y,
+                 x_comp=None, y_comp=None):
+    """Two-hop halo extension of stacked (W, cap, cx_l, cy_l, cz) columns
+    with seam shifts on the coordinate components (no image fixups —
+    force/CV paths only; migration has its own richer variant)."""
+    lh, rh = _exchange_axis(v, 2, ax, n_x)
+    if x_comp is not None:
+        lh = lh.at[x_comp].add(jnp.where(ix == 0, -box_L[0], 0.0))
+        rh = rh.at[x_comp].add(jnp.where(ix == n_x - 1, box_L[0], 0.0))
+    v = jnp.concatenate([lh, v, rh], axis=2)
+    lh, rh = _exchange_axis(v, 3, ay, n_y)
+    if y_comp is not None:
+        lh = lh.at[y_comp].add(jnp.where(iy == 0, -box_L[1], 0.0))
+        rh = rh.at[y_comp].add(jnp.where(iy == n_y - 1, box_L[1], 0.0))
+    return jnp.concatenate([lh, v, rh], axis=3)
+
+
 def make_sharded_repack_2d(spec: PackedSpec, mesh: Mesh,
                            axes=("spacex", "spacey"),
                            nested: bool = False):
@@ -418,7 +535,8 @@ class SpatialPackedEngine2D(PackedEngine):
                  mass: float = 1.0, always_repack: bool = False,
                  nested: bool = False, walker_axis: str = "walkers",
                  pair_pallas: Optional[bool] = None,
-                 with_energy: bool = False):
+                 with_energy: bool = False,
+                 order_pallas: Optional[bool] = None):
         """``nested=True`` builds the halo islands for use inside an
         enclosing shard_map over ``walker_axis`` (walkers x 2-D space —
         pass the full 3-axis product mesh here and the same mesh to
@@ -457,6 +575,20 @@ class SpatialPackedEngine2D(PackedEngine):
                                                       nested=nested)
         self._force = lambda st, sp: sharded_force(st)
         self._force_e = lambda st, sp: sharded_force_e(st)
+        # Pallas order-CV islands (make_sharded_order_parts_2d); same
+        # default/mechanism as the 1-D engine
+        if order_pallas is None:
+            order_pallas = jax.default_backend() == "tpu"
+        self.order_pallas = order_pallas
+
+    def make_order_parts(self, cvs):
+        """(values_fn, force_fn) for the sampler's fused order-CV path
+        (parallel/spatial.py parity)."""
+        if not self.order_pallas:
+            return None
+        return make_sharded_order_parts_2d(
+            list(cvs), self.spec, self.mesh, self.axes,
+            nested=self._nested_islands)
 
     def rebuild(self, state: PackedState, aux: PackedAux):
         need = (jnp.asarray(True) if self.always_repack

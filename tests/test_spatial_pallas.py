@@ -82,19 +82,22 @@ def test_spatial_pair_pallas_matches_xla(sentinel, dd):
     np.testing.assert_allclose(e_p, e_x, rtol=1e-5)
 
 
+@pytest.mark.parametrize("dd", ["1d", "2d"])
 @pytest.mark.parametrize("sentinel", [False, True],
                          ids=["general", "sentinel"])
-def test_sharded_order_parts_match_gspmd_sweep(sentinel):
-    """Pallas order-CV sweeps inside the spatial island
-    (make_sharded_order_parts) == the GSPMD XLA roll sweep: values (via
-    the interior-cell pair mask + psum) and bias forces (ghost-discard)
-    — the round-4 DD-tax closer, correctness side."""
+def test_sharded_order_parts_match_gspmd_sweep(sentinel, dd):
+    """Pallas order-CV sweeps inside the spatial islands
+    (make_sharded_order_parts / _2d) == the GSPMD XLA roll sweep: values
+    (via the interior-cell pair mask + psum) and bias forces
+    (ghost-discard) — the round-4 DD-tax closer, correctness side.  The
+    2-D case exercises the corner-carrying two-hop extension."""
     import metadyn_tpu.ops.packed_order_pallas as pop
     from metadyn_tpu.core.state import make_system
     from metadyn_tpu.cv.packed_order import (PackedSteinhardtQl,
                                              PackedCoordination,
                                              make_fused_order_force)
     from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.spatial2d import SpatialPackedEngine2D
 
     a_lat = 1.62
     pos = fcc_lattice(8, a_lat)       # cx = 6 cells: divisible by 2
@@ -111,9 +114,15 @@ def test_sharded_order_parts_match_gspmd_sweep(sentinel):
     cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6"),
            PackedCoordination(spec=spec, r0=nn * 1.35,
                               r_cut=nn * 1.35 * 1.5, name="co")]
-    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
-    engine = SpatialPackedEngine(spec, mesh, rebuild_every=5,
-                                 order_pallas=True)
+    if dd == "1d":
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+        engine = SpatialPackedEngine(spec, mesh, rebuild_every=5,
+                                     order_pallas=True)
+    else:
+        mesh = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                    ("spacex", "spacey"))
+        engine = SpatialPackedEngine2D(spec, mesh, rebuild_every=5,
+                                       order_pallas=True)
     st, ovf = engine.pack_state(pos, box, np.zeros(n, np.int32),
                                 eps_i=np.ones(n, np.float32),
                                 sigma_i=np.ones(n, np.float32))
