@@ -406,7 +406,9 @@ def build_sampler(cfg: dict, resume: bool = False):
                 engine = SpatialPackedEngine2D(
                     spec, wmesh, nested=True,
                     rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
-                    with_energy=want_energy)
+                    with_energy=want_energy,
+                    pair_pallas=eng_cfg.get("pair_pallas"),
+                    order_pallas=eng_cfg.get("order_pallas"))
             else:
                 need = nx * ny
                 if len(devs) < need:
@@ -419,7 +421,9 @@ def build_sampler(cfg: dict, resume: bool = False):
                 engine = SpatialPackedEngine2D(
                     spec, m2d,
                     rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
-                    with_energy=want_energy)
+                    with_energy=want_energy,
+                    pair_pallas=eng_cfg.get("pair_pallas"),
+                    order_pallas=eng_cfg.get("order_pallas"))
             bad = {c["kind"] for c in cvs_cfg} - {
                 "lamellar", "msd", "steinhardt", "q6", "coordination",
                 "wte", "mesh"}
@@ -459,13 +463,17 @@ def build_sampler(cfg: dict, resume: bool = False):
                 engine = SpatialPackedEngine(
                     spec, wmesh, nested=True,
                     rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
-                    with_energy=want_energy)
+                    with_energy=want_energy,
+                    pair_pallas=eng_cfg.get("pair_pallas"),
+                    order_pallas=eng_cfg.get("order_pallas"))
             else:
                 smesh = _JaxMesh(np.asarray(devs[:sp_dev]), ("space",))
                 engine = SpatialPackedEngine(
                     spec, smesh,
                     rebuild_every=int(eng_cfg.get("rebuild_every", 1)),
-                    with_energy=want_energy)
+                    with_energy=want_energy,
+                    pair_pallas=eng_cfg.get("pair_pallas"),
+                    order_pallas=eng_cfg.get("order_pallas"))
         else:
             engine = PackedEngine(
                 spec, rebuild_every=int(eng_cfg.get("rebuild_every", 1)),

@@ -107,6 +107,17 @@ def _shard_map(fn, mesh, in_specs, out_specs, axis_names=None,
               check_rep=check_vma)
 
 
+def _vma_tag(r):
+    """A zero scalar carrying ``r``'s varying-manual-axes type.
+
+    ``pallas_call`` outputs carry no vma annotation (the reason the
+    islands set ``check_vma=False``); inside a NESTED island the outputs
+    would come back replicated over the enclosing walker axis and break
+    the caller's scan-carry typing.  Adding this tag (numerically a
+    no-op) re-imprints the inputs' varying axes."""
+    return 0.0 * r[(0,) * r.ndim]
+
+
 def _halo_exchange(plane_lo, plane_hi, axis: str, n_dev: int):
     """Ring ppermute: send my low/high boundary x-planes to my left/right
     neighbors; returns (left_halo, right_halo) received from them.
@@ -151,12 +162,12 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     ghost↔ghost (interior planes are buffered on both sides), so
     discarding the ghost planes yields exactly the interior forces.
     Energy/virial stay on the XLA+cell-mask path (``refresh_energy`` at
-    stride boundaries).  Not supported for nested (product-mesh) islands.
+    stride boundaries).  Works nested too (walkers x space product
+    meshes): the island body is walker-local, so the kernel runs
+    unchanged inside the walkers-manual region (round-5; previously the
+    most parallel topology was pinned to the XLA path).
     """
     if pair_pallas:
-        assert not nested, (
-            "pair_pallas inside nested (walkers×space) islands is "
-            "untested — product meshes stay on the XLA path")
         from ..ops.packed_pallas2 import packed_lj_force_pallas2
     cap, C = spec.cap, spec.n_cells
     cx, cy, cz = spec.cells_per_dim
@@ -256,6 +267,11 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
                           {k: state.attrs[k].reshape(cap, C)
                            for k in attr_names},
                           state.box.L, shard_iota)
+        if pair_pallas:
+            # check_vma=False islands return replicated-typed outputs;
+            # re-imprint the state's varying axes (see _vma_tag)
+            tag = _vma_tag(state.r)
+            f, e, w = f + tag, e + tag, w + tag
         return state.replace(f=f.reshape(3, cap * C),
                              potential_energy=e, virial=w)
 
@@ -375,6 +391,8 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
         terms = values_island(state.r.reshape(3, cap, C),
                               state.pid.reshape(cap, C),
                               state.box.L, shard_iota)
+        tag = _vma_tag(state.r)       # see _vma_tag
+        terms = jax.tree.map(lambda x: x + tag, terms)
         s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
         return s, (terms, None)
 
@@ -389,7 +407,7 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
         g = force_island(state.r.reshape(3, cap, C),
                          state.pid.reshape(cap, C),
                          state.box.L, shard_iota, aux_arr)
-        return g.reshape(3, cap * C)
+        return (g + _vma_tag(state.r)).reshape(3, cap * C)
 
     assert n_terms <= 128 and n_aux <= 128
     return values_fn, force_fn
@@ -611,10 +629,11 @@ class SpatialPackedEngine(PackedEngine):
         the same mesh to
         :class:`~metadyn_tpu.parallel.walkers.WalkerSampler`.
 
-        ``pair_pallas`` (default: TPU and not nested) runs the inner-step
-        pair force through the Newton-halved Pallas kernel on the
-        halo-extended local grid (see :func:`make_sharded_lj_force`) —
-        closes most of the 2.9× DD tax measured in round 4.  Energy/
+        ``pair_pallas`` (default: TPU, incl. nested product meshes) runs
+        the inner-step pair force through the Newton-halved Pallas
+        kernel on the halo-extended local grid (see
+        :func:`make_sharded_lj_force`) — closes most of the 2.9× DD tax
+        measured in round 4.  Energy/
         virial refreshes and the CV sweeps stay on the GSPMD XLA path
         (``self.use_pallas`` remains False for the order-CV kernels,
         which are not shard-local).
@@ -633,7 +652,7 @@ class SpatialPackedEngine(PackedEngine):
         self._nested_islands = nested
         self._walker_axis = walker_axis
         if pair_pallas is None:
-            pair_pallas = (jax.default_backend() == "tpu" and not nested
+            pair_pallas = (jax.default_backend() == "tpu"
                            and spec.pair_kind == "lj")
         if with_energy:
             pair_pallas = False

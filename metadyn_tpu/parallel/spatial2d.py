@@ -46,7 +46,7 @@ from ..ops.packed import (
     PackedSpec, PackedState, packed_lj_force, needs_repack, _scatter_rows,
     VACANT_X,
 )
-from .spatial import _force_attr_names, _shard_map
+from .spatial import _force_attr_names, _shard_map, _vma_tag
 
 
 def _ring(n_dev: int):
@@ -210,6 +210,11 @@ def make_sharded_lj_force_2d(spec: PackedSpec, mesh: Mesh,
             {k: state.attrs[k].reshape(cap, cx, cy, cz)
              for k in attr_names},
             state.box.L, iota_x, iota_y)
+        if pair_pallas:
+            # check_vma=False islands return replicated-typed outputs;
+            # re-imprint the state's varying axes (parallel/spatial.py)
+            tag = _vma_tag(state.r)
+            f, e, w = f + tag, e + tag, w + tag
         return state.replace(f=f.reshape(3, cap * C),
                              potential_energy=e, virial=w)
 
@@ -297,6 +302,8 @@ def make_sharded_order_parts_2d(cvs, spec: PackedSpec, mesh: Mesh,
         terms = values_island(state.r.reshape(3, cap, cx, cy, cz),
                               state.pid.reshape(cap, cx, cy, cz),
                               state.box.L, iota_x, iota_y)
+        tag = _vma_tag(state.r)       # see parallel/spatial._vma_tag
+        terms = jax.tree.map(lambda x: x + tag, terms)
         s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
         return s, (terms, None)
 
@@ -311,7 +318,7 @@ def make_sharded_order_parts_2d(cvs, spec: PackedSpec, mesh: Mesh,
         g = force_island(state.r.reshape(3, cap, cx, cy, cz),
                          state.pid.reshape(cap, cx, cy, cz),
                          state.box.L, iota_x, iota_y, aux_arr)
-        return g.reshape(3, cap * C)
+        return (g + _vma_tag(state.r)).reshape(3, cap * C)
 
     return values_fn, force_fn
 
@@ -557,7 +564,7 @@ class SpatialPackedEngine2D(PackedEngine):
         self._nested_islands = nested
         self._walker_axis = walker_axis
         if pair_pallas is None:
-            pair_pallas = (jax.default_backend() == "tpu" and not nested
+            pair_pallas = (jax.default_backend() == "tpu"
                            and spec.pair_kind == "lj")
         if with_energy:
             pair_pallas = False

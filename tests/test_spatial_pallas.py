@@ -151,3 +151,90 @@ def test_sharded_order_parts_match_gspmd_sweep(sentinel, dd):
     scale = float(np.abs(np.asarray(g_ref)).max())
     np.testing.assert_allclose(np.asarray(g_dd), np.asarray(g_ref),
                                rtol=1e-3, atol=2e-5 * scale)
+
+
+@pytest.mark.smoke
+def test_product_mesh_pallas_kernels_match_xla():
+    """pair_pallas + order_pallas inside NESTED (walkers x space)
+    islands: the full Pallas kernel set runs on the product mesh
+    (round-4 weak #6: the most parallel topology was pinned to the XLA
+    path).  2 walkers x 2 shards, 50 biased MD steps with Q6 +
+    coordination: trajectories and the shared bias grid match the
+    XLA-path product run."""
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    import metadyn_tpu.ops.packed_order_pallas as pop
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed_order import (PackedSteinhardtQl,
+                                             PackedCoordination)
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.walkers import WalkerSampler
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+
+    a_lat = 1.62
+    pos = fcc_lattice(8, a_lat)
+    n = pos.shape[0]
+    L = 8 * a_lat
+    rng = np.random.default_rng(3)
+    pos = (pos + rng.normal(0, 0.05, pos.shape)).astype(np.float32)
+    box = Box.cubic(L)
+    system = make_system(n)
+    nn = a_lat / np.sqrt(2)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.5, cap=40,
+                             shift_energy=False)
+    grid = GridSpec.create([0.0, 4.0], [0.7, 28.0], [32, 32], [0.02, 0.5])
+    mesh2 = Mesh(np.asarray(jax.devices()[:4]).reshape(2, 2),
+                 ("walkers", "space"))
+
+    def build(pallas_on):
+        engine = SpatialPackedEngine(spec, mesh2, rebuild_every=5,
+                                     nested=True, pair_pallas=pallas_on,
+                                     order_pallas=pallas_on)
+        cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6,
+                                  name="q6"),
+               PackedCoordination(spec=spec, r0=nn * 1.35,
+                                  r_cut=nn * 1.35 * 1.5, name="co")]
+
+        def pack_one(w):
+            r = np.random.default_rng(100 + w)
+            vel = r.normal(0, 1.0, (n, 3)).astype(np.float32)
+            vel -= vel.mean(axis=0)
+            st, ovf = engine.pack_state(
+                pos, box, np.zeros(n, np.int32),
+                eps_i=np.ones(n, np.float32),
+                sigma_i=np.ones(n, np.float32), vel=vel)
+            assert not bool(ovf)
+            return st
+
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[pack_one(w) for w in range(2)])
+        return WalkerSampler(
+            system, states, engine, cvs=cvs, grid_spec=grid,
+            hills=HillSpec.create(W=0.4, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.001, kT=0.7, gamma=1.0),
+            seed=0, chunks_per_block=1, mesh=mesh2)
+
+    orig = pl.pallas_call
+    patch = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    pp2.pl.pallas_call = patch
+    pop.pl.pallas_call = patch
+    try:
+        s_p = build(True)
+        h_p = s_p.run(50)
+    finally:
+        pp2.pl.pallas_call = orig
+        pop.pl.pallas_call = orig
+    s_x = build(False)
+    h_x = s_x.run(50)
+
+    assert int(s_p.bias.n_hills) == int(s_x.bias.n_hills) == 4
+    np.testing.assert_allclose(np.asarray(h_p[-1]["cv"]),
+                               np.asarray(h_x[-1]["cv"]),
+                               rtol=5e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_p.bias.grid.V),
+                               np.asarray(s_x.bias.grid.V),
+                               rtol=1e-3, atol=2e-5)
+    assert not np.any(np.asarray(h_p[-1]["nlist_overflow"]))
