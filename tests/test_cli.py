@@ -758,3 +758,16 @@ def test_cli_box_metadynamics_packed_and_dd(tmp_path):
     bad["metadynamics"] = dict(cfg["metadynamics"], n_walkers=2)
     with pytest.raises(ValueError, match="box_bias"):
         build_sampler(bad)
+
+
+@pytest.mark.smoke
+def test_cli_config4_sk_product_mesh(tmp_path):
+    """The flagship round-5 composition END-TO-END from the example YAML:
+    Config-4-at-scale — 4 walkers x 2 spatial shards with the S(k)
+    mesh CV (nested slab-FFT islands) — through ``metadyn run``."""
+    p, cfg = _shrunk("examples/config4_walkers_sk_dd.yaml", tmp_path,
+                     run={"n_steps": 40, "report_every": 40},
+                     metadynamics={"stride": 20})
+    assert main(["run", p]) == 0
+    rows = open(cfg["output"]["hill_file"]).readlines()
+    assert len(rows) == 1 + 2 * 4      # 2 strides x 4 walkers
