@@ -295,13 +295,26 @@ def build_sampler(cfg: dict, resume: bool = False):
     n = pos.shape[0]
     tilt = sys_cfg.get("tilt")
     if tilt is not None:
-        # triclinic runs on the all-pairs engine or the packed cell engine
-        # (fractional binning; ops/packed.py); spatial DD keeps its
-        # orthorhombic slab guard
+        # triclinic runs on the all-pairs engine, the packed cell engine
+        # (fractional binning; ops/packed.py), and — round 5 — the 1-D
+        # spatial decomposition (the slab axis is fractional x, whose
+        # lattice vector a1 = (Lx, 0, 0) keeps the seam shift
+        # orthorhombic-shaped; parallel/spatial.py).  The 2-D mesh and
+        # the distributed FFT mesh CV keep orthorhombic guards (their
+        # y-seam shift / Cartesian mesh fractions would need a2-aware
+        # halos).
         assert cfg["engine"]["kind"] in ("all_pairs", "packed"), (
             "system.tilt requires engine.kind: all_pairs or packed")
-        assert not int(cfg["engine"].get("spatial_devices", 1) or 1) > 1, (
-            "system.tilt is not supported with spatial_devices > 1")
+        sp_chk = cfg["engine"].get("spatial_devices", 1) or 1
+        assert not isinstance(sp_chk, (list, tuple)), (
+            "system.tilt is not supported with the 2-D decomposition "
+            "(spatial_devices: [nx, ny]); use 1-D slabs")
+        if int(sp_chk) > 1:
+            assert not any(c["kind"] == "mesh"
+                           for c in cfg.get("cvs", [])), (
+                "system.tilt + spatial_devices: the distributed FFT mesh "
+                "CV is orthorhombic-only; use lamellar/order CVs under "
+                "tilted DD")
         xy, xz, yz = (float(t) for t in tilt)
         box = Box.triclinic(float(L), float(L), float(L), xy, xz, yz)
     else:

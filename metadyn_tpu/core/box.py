@@ -16,12 +16,15 @@ so a lattice point is ``r = h @ f`` with fractional ``f``.  See SURVEY.md
 math — the triclinic branch is selected STATICALLY at trace time, so
 orthorhombic runs compile to exactly the pre-triclinic program.  Triclinic
 boxes run on the general engines (all-pairs pair/bond forces, Langevin/NVT
-stepping, lamellar/mesh/Steinhardt/MSD CVs) AND on the packed
+stepping, lamellar/mesh/Steinhardt/MSD CVs), on the packed
 cell-decomposition hot path (fractional binning + h-matrix roll shifts,
-ops/packed.py; cells sized by perpendicular width).  Spatial DD and the
-packed NPT barostat keep orthorhombic guards (HOOMD restricts its MPI
-decomposition for strong tilts similarly; its NPT couples tilt DOFs
-separately — out of scope).
+ops/packed.py; cells sized by perpendicular width), AND — round 5 —
+under the 1-D spatial decomposition (the slab axis is fractional x,
+whose lattice vector a1 = h·(1,0,0) = (Lx, 0, 0) keeps the ghost seam
+shift orthorhombic-shaped; parallel/spatial.py).  The 2-D decomposition,
+the distributed-FFT mesh CV, and the packed NPT barostat keep
+orthorhombic guards (its NPT couples tilt DOFs separately — out of
+scope).
 
 Minimum-image convention under tilt follows HOOMD: round in FRACTIONAL
 coordinates — exact whenever the interaction range is below half the

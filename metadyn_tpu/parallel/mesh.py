@@ -219,6 +219,10 @@ class ShardedPackedMesh:
         shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
 
         def run(state, *extra):
+            assert state.box.tilt is None, (
+                "the distributed slab-FFT mesh CV assigns on Cartesian "
+                "axis fractions — triclinic runs use the single-device "
+                "PackedMesh (fractional CIC/TSC)")
             cap, C = self.spec.cap, self.spec.n_cells
             args = (state.r.reshape(3, cap, C),
                     state.attrs[self.attr_name].reshape(cap, C),

@@ -73,7 +73,7 @@ from ..core.box import Box
 from ..core.packed_engine import PackedEngine, PackedAux
 from ..ops.packed import (
     PackedSpec, PackedState, packed_lj_force, needs_repack, _scatter_rows,
-    VACANT_X,
+    VACANT_X, _frac3, _cart3,
 )
 
 
@@ -188,9 +188,15 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     interior = jnp.asarray(interior.reshape(-1))
     attr_names = _force_attr_names(spec)
 
-    def local_force(r, pid, typ, attrs, box_L, shard_ix):
+    def local_force(r, pid, typ, attrs, box_L, shard_ix, *tilt_arg):
         """Per-device body: r (3, cap, C_l), pid/typ (cap, C_l) i32,
-        attrs dict of (cap, C_l)."""
+        attrs dict of (cap, C_l).  A trailing ``tilt`` operand selects
+        the triclinic path (trace-static): the slab axis is FRACTIONAL
+        x, whose lattice vector a1 = h·(1,0,0) = (Lx, 0, 0) under the
+        HOOMD upper-triangular h — so the seam shift is the same ±Lx
+        x-shift as the orthorhombic case, and the in-kernel roll shifts
+        are h-matrix lattice vectors (shift_rows_cart)."""
+        box = Box(L=box_L, tilt=tilt_arg[0] if tilt_arg else None)
         # shard index arrives as a P(axis)-sharded iota rather than
         # jax.lax.axis_index: axis_index's partition-id lowering breaks
         # inside a NESTED shard_map (it re-binds the parent's manual axis)
@@ -228,7 +234,7 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
             typ=typ_ext.reshape(-1),
             slot_of=jnp.zeros(1, jnp.int32),
             attrs={k: v.reshape(-1) for k, v in attrs_ext.items()},
-            box=Box(L=box_L),
+            box=box,
             potential_energy=jnp.float32(0.0),
             virial=jnp.zeros(3, jnp.float32))
         if pair_pallas:
@@ -246,27 +252,34 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
 
     # the flat slot axis is cap-major/C-minor, so sharding must apply to
     # the (cap, C) VIEW along C (contiguous chunks of C are x-slabs)
-    sharded = _shard_map(
-        local_force, None if nested else mesh,
-        in_specs=(P(None, None, axis), P(None, axis), P(None, axis),
-                  {k: P(None, axis) for k in attr_names}, P(), P(axis)),
-        out_specs=(P(None, None, axis), P(), P()),
-        axis_names=(axis,) if nested else None,
-        check_vma=not pair_pallas,
-    )
+    islands = {}
+
+    def get_island(tilted: bool):
+        if tilted not in islands:
+            islands[tilted] = _shard_map(
+                local_force, None if nested else mesh,
+                in_specs=(P(None, None, axis), P(None, axis),
+                          P(None, axis),
+                          {k: P(None, axis) for k in attr_names},
+                          P(), P(axis)) + ((P(),) if tilted else ()),
+                out_specs=(P(None, None, axis), P(), P()),
+                axis_names=(axis,) if nested else None,
+                check_vma=not pair_pallas,
+            )
+        return islands[tilted]
+
     shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
 
     def force(state: PackedState) -> PackedState:
-        assert state.box.tilt is None, (
-            "spatial DD shards orthorhombic slabs only (tilted halo "
-            "shifts are out of scope; HOOMD restricts strong-tilt "
-            "decompositions similarly)")
-        f, e, w = sharded(state.r.reshape(3, cap, C),
-                          state.pid.reshape(cap, C),
-                          state.typ.reshape(cap, C),
-                          {k: state.attrs[k].reshape(cap, C)
-                           for k in attr_names},
-                          state.box.L, shard_iota)
+        tilted = state.box.tilt is not None
+        extra = (state.box.tilt,) if tilted else ()
+        f, e, w = get_island(tilted)(
+            state.r.reshape(3, cap, C),
+            state.pid.reshape(cap, C),
+            state.typ.reshape(cap, C),
+            {k: state.attrs[k].reshape(cap, C)
+             for k in attr_names},
+            state.box.L, shard_iota, *extra)
         if pair_pallas:
             # check_vma=False islands return replicated-typed outputs;
             # re-imprint the state's varying axes (see _vma_tag)
@@ -327,7 +340,7 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
     n_terms = sum(cv.n_value_terms for cv in cvs)
     n_aux = sum(cv.aux_size for cv in cvs)
 
-    def ext_state(r, pid, box_L, idx):
+    def ext_state(r, pid, box_L, idx, tilt=None):
         """Halo-extend r (3, cap, C_l) + pid (cap, C_l) into a local
         PackedState on the (cx_l+2, cy, cz) grid (local_force twin)."""
         cols = [r[d] for d in range(3)] + [pid.astype(jnp.float32)]
@@ -351,20 +364,22 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
             typ=jnp.zeros(npad_ext, jnp.int32),
             slot_of=jnp.zeros(1, jnp.int32),
             attrs={},
-            box=Box(L=box_L),
+            box=Box(L=box_L, tilt=tilt),
             potential_energy=jnp.float32(0.0),
             virial=jnp.zeros(3, jnp.float32))
 
-    def local_values(r, pid, box_L, shard_ix):
-        st_ext = ext_state(r, pid, box_L, shard_ix[0])
+    def local_values(r, pid, box_L, shard_ix, *tilt_arg):
+        st_ext = ext_state(r, pid, box_L, shard_ix[0],
+                           tilt=tilt_arg[0] if tilt_arg else None)
         terms, _ = order_values_pallas(st_ext, spec_ext, cvs,
                                        cell_mask=interior)
         # structured per-CV terms pytree (leaf shapes differ — Q_l packs
         # per-m arrays); psum each leaf over the ring
         return jax.tree.map(lambda x: jax.lax.psum(x, axis), terms)
 
-    def local_force(r, pid, box_L, shard_ix, aux_flat):
-        st_ext = ext_state(r, pid, box_L, shard_ix[0])
+    def local_force(r, pid, box_L, shard_ix, aux_flat, *tilt_arg):
+        st_ext = ext_state(r, pid, box_L, shard_ix[0],
+                           tilt=tilt_arg[0] if tilt_arg else None)
         auxs = []
         i = 0
         for cv in cvs:
@@ -376,21 +391,35 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
         return g.reshape(3, cap, C_l)
 
     shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
-    values_island = _shard_map(
-        local_values, None if nested else mesh,
-        in_specs=(P(None, None, axis), P(None, axis), P(), P(axis)),
-        out_specs=P(),
-        axis_names=(axis,) if nested else None, check_vma=False)
-    force_island = _shard_map(
-        local_force, None if nested else mesh,
-        in_specs=(P(None, None, axis), P(None, axis), P(), P(axis), P()),
-        out_specs=P(None, None, axis),
-        axis_names=(axis,) if nested else None, check_vma=False)
+    islands = {}
+
+    def get_islands(tilted: bool):
+        if tilted not in islands:
+            t = (P(),) if tilted else ()
+            islands[tilted] = (
+                _shard_map(
+                    local_values, None if nested else mesh,
+                    in_specs=(P(None, None, axis), P(None, axis), P(),
+                              P(axis)) + t,
+                    out_specs=P(),
+                    axis_names=(axis,) if nested else None,
+                    check_vma=False),
+                _shard_map(
+                    local_force, None if nested else mesh,
+                    in_specs=(P(None, None, axis), P(None, axis), P(),
+                              P(axis), P()) + t,
+                    out_specs=P(None, None, axis),
+                    axis_names=(axis,) if nested else None,
+                    check_vma=False))
+        return islands[tilted]
 
     def values_fn(state: PackedState):
-        terms = values_island(state.r.reshape(3, cap, C),
-                              state.pid.reshape(cap, C),
-                              state.box.L, shard_iota)
+        tilted = state.box.tilt is not None
+        extra = (state.box.tilt,) if tilted else ()
+        terms = get_islands(tilted)[0](
+            state.r.reshape(3, cap, C),
+            state.pid.reshape(cap, C),
+            state.box.L, shard_iota, *extra)
         tag = _vma_tag(state.r)       # see _vma_tag
         terms = jax.tree.map(lambda x: x + tag, terms)
         s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
@@ -404,9 +433,12 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
         for cv, aux in zip(cvs, auxs):
             flat.extend(cv.aux_flat(aux))
         aux_arr = jnp.stack([jnp.asarray(a, jnp.float32) for a in flat])
-        g = force_island(state.r.reshape(3, cap, C),
-                         state.pid.reshape(cap, C),
-                         state.box.L, shard_iota, aux_arr)
+        tilted = state.box.tilt is not None
+        extra = (state.box.tilt,) if tilted else ()
+        g = get_islands(tilted)[1](
+            state.r.reshape(3, cap, C),
+            state.pid.reshape(cap, C),
+            state.box.L, shard_iota, aux_arr, *extra)
         return (g + _vma_tag(state.r)).reshape(3, cap * C)
 
     assert n_terms <= 128 and n_aux <= 128
@@ -439,19 +471,31 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     ex, ey, ez = np.unravel_index(np.arange(C_e), (cx_e, cy, cz))
     ex = ex.astype(np.int32)
 
-    def local_repack(r, v, f, im, pid, typ, attrs, box_L, shard_ix):
-        """Per-device body; all arrays (cap, C_l) (r/v/f/im: (3, cap, C_l))."""
+    def local_repack(r, v, f, im, pid, typ, attrs, box_L, shard_ix,
+                     *tilt_arg):
+        """Per-device body; all arrays (cap, C_l) (r/v/f/im: (3, cap, C_l)).
+
+        Triclinic (trailing ``tilt`` operand, trace-static): binning and
+        wraps go FRACTIONAL (f = h⁻¹r); the x seam shift stays ±Lx
+        because a1 = (Lx, 0, 0) under the HOOMD upper-triangular h, and
+        image counters count lattice vectors as everywhere else."""
+        box = Box(L=box_L, tilt=tilt_arg[0] if tilt_arg else None)
         idx = shard_ix[0]      # P(axis)-sharded iota; see local_force
         L = box_L
         attr_keys = sorted(attrs.keys())
 
-        # wrap y/z now (slab-local, safe); x is wrapped AFTER migration so
-        # the shifted seam frame stays consistent
+        # wrap y/z now (slab-local, safe — fractional x is INVARIANT
+        # under a2/a3 wraps, so slab membership is unaffected); x is
+        # wrapped AFTER migration so the shifted seam frame stays
+        # consistent.  Orthorhombic compiles to the plain divide.
         im = im.astype(jnp.float32)
-        for d in (1, 2):
-            sh = jnp.floor(r[d] / L[d] + 0.5)
-            r = r.at[d].add(-L[d] * sh)
-            im = im.at[d].add(sh)
+        f3w = _frac3(r.reshape(3, -1), box)
+        shy = jnp.floor(f3w[1] + 0.5)
+        shz = jnp.floor(f3w[2] + 0.5)
+        shv = jnp.stack([jnp.zeros_like(shy), shy, shz])
+        r = r - _cart3(shv, box).reshape(r.shape)
+        im = im.at[1].add(shy.reshape(im.shape[1:]))
+        im = im.at[2].add(shz.reshape(im.shape[1:]))
 
         # --- halo-extend every column (one stacked exchange per side) ---
         # pid travels as pid+1 with 0 = vacant (the repack convention:
@@ -480,13 +524,17 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
         valid2 = ext[12] > 0                             # (cap, C_e)
 
         # --- new cell coords in the extended local frame ----------------
+        # FRACTIONAL binning (h⁻¹; the plain divide when orthorhombic).
         # x: UNCLIPPED global plane from the (possibly seam-shifted)
-        # coordinate, then to extended-local (interior planes = 1..cx_l)
-        gx = jnp.floor((ext[0] / L[0] + 0.5) * cx).astype(jnp.int32)
+        # coordinate, then to extended-local (interior planes = 1..cx_l);
+        # a ±a1 seam shift moves fx by exactly ∓1
+        f3e = _frac3(jnp.stack(ext[0:3]).reshape(3, -1), box) \
+            .reshape(3, cap, C_e)
+        gx = jnp.floor((f3e[0] + 0.5) * cx).astype(jnp.int32)
         lx = gx - idx * cx_l + 1
-        new_y = jnp.clip(jnp.floor((ext[1] / L[1] + 0.5) * cy)
+        new_y = jnp.clip(jnp.floor((f3e[1] + 0.5) * cy)
                          .astype(jnp.int32), 0, cy - 1)
-        new_z = jnp.clip(jnp.floor((ext[2] / L[2] + 0.5) * cz)
+        new_z = jnp.clip(jnp.floor((f3e[2] + 0.5) * cz)
                          .astype(jnp.int32), 0, cz - 1)
 
         # --- 27-offset sort-free assignment over the extended grid ------
@@ -533,8 +581,10 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
         pid1 = out[12]
         valid_new = pid1 > 0
         # wrap x of migrated seam particles (y/z already wrapped; paired
-        # image update keeps unwrapped coordinates exact)
-        shx = jnp.floor(r_n[0] / L[0] + 0.5)
+        # image update keeps unwrapped coordinates exact).  Fractional
+        # shx; the Cartesian correction is a1·shx = (Lx·shx, 0, 0) under
+        # tilt too (upper-triangular h)
+        shx = jnp.floor(_frac3(r_n, box)[0] + 0.5)
         r_n = r_n.at[0].add(-L[0] * shx)
         im_n = (im_n.at[0].add(shx)).astype(jnp.int32)
         if spec.uniform_eps is not None:
@@ -567,12 +617,13 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
                 {k: shp(a) for k, a in attrs_n.items()},
                 bad, slot_of)
 
-    def specs_for(attrs_keys):
+    def specs_for(attrs_keys, tilted):
         adict = {k: P(None, axis) for k in attrs_keys}
         return (
             (P(None, None, axis),) * 4      # r, v, f, image
             + (P(None, axis),) * 2          # pid, typ
-            + (adict, P(), P(axis)),        # attrs, box_L, shard iota
+            + (adict, P(), P(axis))         # attrs, box_L, shard iota
+            + ((P(),) if tilted else ()),   # tilt factors
             (P(None, None, axis),) * 4 + (P(None, axis),) * 2
             + ({k: P(None, axis) for k in attrs_keys}, P(), P()),
         )
@@ -581,17 +632,19 @@ def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
 
     def repack(state: PackedState):
         keys = sorted(state.attrs.keys())
-        in_specs, out_specs = specs_for(keys)
+        tilted = state.box.tilt is not None
+        in_specs, out_specs = specs_for(keys, tilted)
         fn = _shard_map(local_repack, None if nested else mesh,
                         in_specs, out_specs,
                         axis_names=(axis,) if nested else None)
+        extra = (state.box.tilt,) if tilted else ()
         view2 = lambda a: a.reshape(cap, C)
         view3 = lambda a: a.reshape(3, cap, C)
         r, v, f, im, pid, typ, attrs, bad, slot_of = fn(
             view3(state.r), view3(state.v), view3(state.f),
             view3(state.image), view2(state.pid), view2(state.typ),
             {k: view2(state.attrs[k]) for k in keys}, state.box.L,
-            shard_iota)
+            shard_iota, *extra)
         flat3 = lambda a: a.reshape(3, cap * C)
         r = flat3(r)
         return state.replace(

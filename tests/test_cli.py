@@ -771,3 +771,41 @@ def test_cli_config4_sk_product_mesh(tmp_path):
     assert main(["run", p]) == 0
     rows = open(cfg["output"]["hill_file"]).readlines()
     assert len(rows) == 1 + 2 * 4      # 2 strides x 4 walkers
+
+
+@pytest.mark.smoke
+def test_cli_triclinic_spatial_dd(tmp_path):
+    """system.tilt + engine.spatial_devices from YAML (round 5: HOOMD
+    runs tilted cells under its MPI decomposition; the 1-D slab DD now
+    does too — fractional binning, a1-seam ghost shifts).  Shrunk
+    triclinic Q6 config on a 2-shard mesh; the 2-D decomposition and the
+    distributed-FFT mesh CV stay loudly excluded."""
+    from metadyn_tpu.cli import build_sampler
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+
+    p, cfg = _shrunk(
+        "examples/triclinic_packed.yaml", tmp_path,
+        # L = 12.96 with this tilt -> 4 x-cells: divisible by 2 shards
+        system={"init": {"n_cells": 8, "a": 1.62}},
+        engine={"spatial_devices": 2, "cap": 40},
+        run={"n_steps": 50, "report_every": 50},
+        metadynamics={"stride": 25})
+    s, _ = build_sampler(cfg)
+    assert isinstance(s.engine, SpatialPackedEngine)
+    assert s.state.box.tilt is not None
+    h = s.run(50)
+    assert np.isfinite(np.asarray(h[-1]["cv"])).all()
+    assert not bool(h[-1]["nlist_overflow"])
+    assert int(s.bias.n_hills) == 2
+
+    bad = dict(cfg)
+    bad["engine"] = dict(cfg["engine"], spatial_devices=[2, 2])
+    with pytest.raises(AssertionError, match="2-D decomposition"):
+        build_sampler(bad)
+    bad2 = dict(cfg)
+    bad2["cvs"] = [{"name": "sk", "kind": "mesh", "mesh": [8, 8, 8],
+                    "k0": 1.5, "mode": [1.0],
+                    "grid": {"min": 0.0, "max": 400.0, "num_points": 31,
+                             "sigma": 20.0}}]
+    with pytest.raises(AssertionError, match="orthorhombic-only"):
+        build_sampler(bad2)

@@ -956,3 +956,118 @@ def test_box_metadynamics_under_spatial_dd():
         or abs(float(L_dd[0]) - L) > 1e-3
     np.testing.assert_allclose(np.asarray(m_dd["cv"]),
                                np.asarray(m_ref["cv"]), rtol=1e-4)
+
+
+@pytest.mark.smoke
+def test_triclinic_under_spatial_dd():
+    """TRICLINIC boxes under the 1-D spatial decomposition (round 5 —
+    the last DD exclusion the reference does not have: HOOMD runs tilted
+    cells under its MPI decomposition).  The slab axis is FRACTIONAL x,
+    whose lattice vector a1 = h·(1,0,0) = (Lx, 0, 0) under the HOOMD
+    upper-triangular h — so the ghost seam shift stays a pure ±Lx
+    x-shift, while binning/wraps go fractional and the in-kernel roll
+    shifts are h-matrix lattice vectors.  Three oracles on a 2-shard
+    mesh vs the single-device triclinic packed engine: (1) forces +
+    energy + virial, (2) bit-identical migration through seam/corner
+    handoffs, (3) a 100-step biased-MD trajectory (lamellar CV with
+    reciprocal-lattice k, WT deposits)."""
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.ops.packed import repack_incremental, unpack_positions
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler
+
+    L, tilt = 15.0, (0.2, -0.15, 0.1)
+    rng = np.random.default_rng(0)
+    box = Box.triclinic(L, L, L, *tilt)
+    # non-overlapping init: jittered sc lattice in FRACTIONAL space,
+    # mapped through h (a random-uniform fill has LJ near-contacts that
+    # detonate the MD phase)
+    from metadyn_tpu.core.box import h_matrix
+    g = 9
+    f = (np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                  -1).reshape(-1, 3) + 0.5) / g - 0.5
+    f = f + rng.uniform(-0.03, 0.03, f.shape)
+    pos = (np.asarray(h_matrix(box)) @ f.T).T.astype(np.float32)
+    n = pos.shape[0]
+    vel = rng.normal(0, 1.0, (n, 3)).astype(np.float32)
+    vel -= vel.mean(axis=0)
+    system = make_system(n)
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.4, cap=16,
+                             shift_energy=False, tilt=tilt)
+    assert spec.cells_per_dim[0] % 2 == 0
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+
+    def packed_state(engine):
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32), vel=vel)
+        assert not bool(ovf)
+        return st
+
+    eng_ref = PackedEngine(spec, rebuild_every=5, use_pallas=False)
+    eng_dd = SpatialPackedEngine(spec, mesh, rebuild_every=5)
+
+    # (1) force/energy/virial parity in the tilted cell
+    st_ref = packed_state(eng_ref)
+    st_dd = packed_state(eng_dd)
+    out_ref = jax.jit(lambda s: eng_ref.force_into(s, None))(st_ref)
+    out_dd = jax.jit(lambda s: eng_dd.force_into(s, None))(st_dd)
+    scale = float(jnp.abs(out_ref.f).max())
+    np.testing.assert_allclose(np.asarray(out_dd.f), np.asarray(out_ref.f),
+                               rtol=1e-5, atol=1e-6 * scale)
+    np.testing.assert_allclose(float(out_dd.potential_energy),
+                               float(out_ref.potential_energy), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_dd.virial),
+                               np.asarray(out_ref.virial), rtol=1e-4)
+
+    # (2) migration bit-identity through tilted seam handoffs
+    dr = jnp.asarray(rng.uniform(-1.2, 1.2, (3, st_ref.r.shape[1])),
+                     jnp.float32)
+    pushed = st_ref.replace(r=st_ref.r + dr)
+    ref, bad_r = jax.jit(lambda s: repack_incremental(s, spec))(pushed)
+    got, bad_d = jax.jit(eng_dd._sharded_repack)(pushed)
+    assert not bool(bad_r) and not bool(bad_d)
+    np.testing.assert_array_equal(np.asarray(got.pid), np.asarray(ref.pid))
+    np.testing.assert_allclose(np.asarray(got.r), np.asarray(ref.r),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got.image),
+                                  np.asarray(ref.image))
+
+    # (3) biased-MD trajectory differential (lamellar CV uses the
+    # reciprocal-lattice k of the tilted cell)
+    cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="lam")
+
+    def build(engine):
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32), vel=vel,
+            extra_attrs={cv.attr_name: np.ones(n, np.float32)})
+        assert not bool(ovf)
+        return MetadSampler(
+            system, st, engine, cvs=[cv],
+            grid_spec=GridSpec.create([-0.5], [0.5], [51], [0.02]),
+            hills=HillSpec.create(W=0.5, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.004, kT=1.0, gamma=1.0),
+            seed=0, chunks_per_block=1)
+
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False))
+    h_ref = s_ref.run(100)
+    s_dd = build(SpatialPackedEngine(spec, mesh, rebuild_every=5))
+    h_dd = s_dd.run(100)
+    m_r, m_d = h_ref[-1], h_dd[-1]
+    assert not bool(m_r["nlist_overflow"]) and not bool(m_d["nlist_overflow"])
+    np.testing.assert_allclose(np.asarray(m_d["cv"]),
+                               np.asarray(m_r["cv"]), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_dd.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V),
+                               rtol=1e-4, atol=1e-6)
+    p_r = np.asarray(unpack_positions(s_ref.state, spec))
+    p_d = np.asarray(unpack_positions(s_dd.state, spec))
+    np.testing.assert_allclose(p_d, p_r, rtol=1e-4, atol=1e-4)
