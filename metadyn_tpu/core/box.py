@@ -120,17 +120,34 @@ def reciprocal_matrix(box: Box) -> jax.Array:
 
 
 def fractional(pos: jax.Array, box: Box) -> jax.Array:
-    """Cartesian (..., 3) → fractional coordinates f = h⁻¹ r."""
+    """Cartesian (..., 3) → fractional coordinates f = h⁻¹ r.
+
+    Elementwise triangular solve, not a matmul: TPU f32 matmuls default
+    to bf16 passes, whose ~1e-3 relative error corrupts wrap/bin
+    positions (ops/packed._frac3 has the same form)."""
     if box.tilt is None:
         return pos / box.L
-    return pos @ h_inverse(box).T
+    Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
+    xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+    fz = pos[..., 2] / Lz
+    fy = (pos[..., 1] - yz * pos[..., 2]) / Ly
+    fx = (pos[..., 0] - xy * (pos[..., 1] - yz * pos[..., 2])
+          - xz * pos[..., 2]) / Lx
+    return jnp.stack([fx, fy, fz], axis=-1)
 
 
 def from_fractional(frac: jax.Array, box: Box) -> jax.Array:
-    """Fractional (..., 3) → Cartesian r = h f."""
+    """Fractional (..., 3) → Cartesian r = h f (elementwise triangular
+    product — see :func:`fractional`)."""
     if box.tilt is None:
         return frac * box.L
-    return frac @ h_matrix(box).T
+    Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
+    xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+    r2 = Lz * frac[..., 2]
+    r1 = Ly * frac[..., 1] + yz * Lz * frac[..., 2]
+    r0 = (Lx * frac[..., 0] + xy * Ly * frac[..., 1]
+          + xz * Lz * frac[..., 2])
+    return jnp.stack([r0, r1, r2], axis=-1)
 
 
 def min_perpendicular_width(box: Box) -> jax.Array:

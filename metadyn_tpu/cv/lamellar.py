@@ -51,8 +51,9 @@ class LamellarOP:
             # triclinic: k_j = 2π n_j @ h⁻¹ (reciprocal lattice of the
             # tilted cell — see core/box.reciprocal_matrix)
             from ..core.box import reciprocal_matrix
-            k = 2.0 * jnp.pi * self.lattice_vectors @ reciprocal_matrix(
-                state.box)                                              # (M, 3)
+            k = 2.0 * jnp.pi * jnp.matmul(
+                self.lattice_vectors, reciprocal_matrix(state.box),
+                precision="highest")   # TPU default matmul = bf16 passes                                              # (M, 3)
         phase = state.pos @ k.T + self.phases[None, :]                  # (N, M)
         amp = self.mode[system.types]                                   # (N,)
         return jnp.sum(amp[:, None] * jnp.cos(phase)) / state.pos.shape[0]

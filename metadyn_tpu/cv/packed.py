@@ -53,7 +53,9 @@ class PackedLamellar:
         amp = state.attrs[self.attr_name]           # (Npad,)
         # k(n) = 2π·(n @ h⁻¹): orthorhombic ⇒ 2π n/L; triclinic ⇒ the
         # reciprocal-matrix wave vectors (cv/lamellar.py parity)
-        k = 2.0 * jnp.pi * self.lattice_vectors @ reciprocal_matrix(state.box)
+        k = 2.0 * jnp.pi * jnp.matmul(self.lattice_vectors,
+                              reciprocal_matrix(state.box),
+                              precision="highest")
         # phase per (mode, slot): SoA contraction, no (Npad, 3) layout
         s = jnp.float32(0.0)
         for m in range(self.lattice_vectors.shape[0]):
@@ -70,7 +72,9 @@ class PackedLamellar:
         +dVds·amp·sin(phase)·k_d/N — a fused SoA elementwise pass (no vjp
         re-trace; oracle-tested against jax.vjp in tests/test_cvs.py)."""
         amp = state.attrs[self.attr_name]
-        k = 2.0 * jnp.pi * self.lattice_vectors @ reciprocal_matrix(state.box)
+        k = 2.0 * jnp.pi * jnp.matmul(self.lattice_vectors,
+                              reciprocal_matrix(state.box),
+                              precision="highest")
         coef = dVds / self.n_real
         for m in range(self.lattice_vectors.shape[0]):
             phase = (k[m, 0] * state.r[0] + k[m, 1] * state.r[1]

@@ -55,14 +55,29 @@ def _frac3(r: jax.Array, box: Box) -> jax.Array:
     support (HOOMD BoxDim parity, SURVEY.md §2b)."""
     if box.tilt is None:
         return r / box.L[:, None]
-    return h_inverse(box) @ r
+    # explicit upper-triangular solve in elementwise f32 — NOT the
+    # h_inverse matmul: TPU f32 matmuls default to bf16 passes, and the
+    # ~1e-3 relative error corrupts binning/wrap positions (observed as
+    # sharded-repack integrity trips on the real chip, round 5)
+    Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
+    xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+    fz = r[2] / Lz
+    fy = (r[1] - yz * r[2]) / Ly
+    fx = (r[0] - xy * (r[1] - yz * r[2]) - xz * r[2]) / Lx
+    return jnp.stack([fx, fy, fz])
 
 
 def _cart3(f: jax.Array, box: Box) -> jax.Array:
     """(3, M) fractional → Cartesian rows (r = h f)."""
     if box.tilt is None:
         return f * box.L[:, None]
-    return h_matrix(box) @ f
+    # elementwise triangular product (see _frac3: exact f32, no matmul)
+    Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
+    xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+    r2 = Lz * f[2]
+    r1 = Ly * f[1] + yz * Lz * f[2]
+    r0 = Lx * f[0] + xy * Ly * f[1] + xz * Lz * f[2]
+    return jnp.stack([r0, r1, r2])
 
 
 def shift_rows_cart(ushift, box: Box) -> jax.Array:
@@ -75,7 +90,14 @@ def shift_rows_cart(ushift, box: Box) -> jax.Array:
         L = jnp.reshape(jnp.asarray(box.L, jnp.float32),
                         (1,) * (u.ndim - 2) + (3, 1))
         return u * L
-    return jnp.einsum("de,...ec->...dc", h_matrix(box), u)
+    # elementwise triangular product (exact f32; the einsum form ran at
+    # TPU bf16 matmul precision — see _frac3)
+    Lx, Ly, Lz = box.L[0], box.L[1], box.L[2]
+    xy, xz, yz = box.tilt[0], box.tilt[1], box.tilt[2]
+    ux, uy, uz = u[..., 0, :], u[..., 1, :], u[..., 2, :]
+    return jnp.stack([Lx * ux + xy * Ly * uy + xz * Lz * uz,
+                      Ly * uy + yz * Lz * uz,
+                      Lz * uz], axis=-2)
 
 
 @struct.dataclass
