@@ -443,6 +443,7 @@ def test_cli_spatial_dd(tmp_path):
     assert not np.any(np.asarray(h4[-1]["nlist_overflow"]))
 
 
+@pytest.mark.smoke
 def test_cli_walkers_times_spatial(tmp_path):
     """metadynamics.n_walkers together with engine.spatial_devices builds
     the walkers x space product mesh from YAML — the reference's

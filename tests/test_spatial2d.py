@@ -154,6 +154,7 @@ def test_2d_biased_md_matches_single_device():
     np.testing.assert_allclose(p_2, p_r, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.smoke
 def test_cli_spatial_devices_2d(tmp_path):
     """engine.spatial_devices: [2, 2] builds the 2-D engine from YAML and
     runs biased MD end-to-end."""

@@ -26,9 +26,13 @@ from metadyn_tpu.parallel.spatial import SpatialPackedEngine
 from metadyn_tpu.utils.lattice import fcc_lattice
 
 
-@pytest.mark.parametrize("dd", ["1d", "2d"])
-@pytest.mark.parametrize("sentinel", [False, True],
-                         ids=["general", "sentinel"])
+# default tier runs the production combination (sentinel layout, 1-D);
+# the remaining cross-products land in the smoke tier
+@pytest.mark.parametrize(
+    "dd", ["1d", pytest.param("2d", marks=pytest.mark.smoke)])
+@pytest.mark.parametrize(
+    "sentinel", [pytest.param(False, marks=pytest.mark.smoke), True],
+    ids=["general", "sentinel"])
 def test_spatial_pair_pallas_matches_xla(sentinel, dd):
     """Newton-halved Pallas pair kernel on the halo-extended local grid
     == the XLA cell-mask island, for BOTH decompositions (round-4
@@ -82,9 +86,11 @@ def test_spatial_pair_pallas_matches_xla(sentinel, dd):
     np.testing.assert_allclose(e_p, e_x, rtol=1e-5)
 
 
-@pytest.mark.parametrize("dd", ["1d", "2d"])
-@pytest.mark.parametrize("sentinel", [False, True],
-                         ids=["general", "sentinel"])
+@pytest.mark.parametrize(
+    "dd", ["1d", pytest.param("2d", marks=pytest.mark.smoke)])
+@pytest.mark.parametrize(
+    "sentinel", [pytest.param(False, marks=pytest.mark.smoke), True],
+    ids=["general", "sentinel"])
 def test_sharded_order_parts_match_gspmd_sweep(sentinel, dd):
     """Pallas order-CV sweeps inside the spatial islands
     (make_sharded_order_parts / _2d) == the GSPMD XLA roll sweep: values
