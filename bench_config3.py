@@ -53,7 +53,8 @@ from metadyn_tpu.utils.lattice import fcc_lattice
 BASELINE = 50e6
 
 
-def run_once(cap: int, dd: bool = False, order_pallas: bool = True):
+def run_once(cap: int, dd: bool = False, order_pallas: bool = True,
+             lag=None):
     """One measured bench pass at the given cell capacity.
 
     Returns (rate, ok) — ok=False when the run-validity guard trips
@@ -64,9 +65,9 @@ def run_once(cap: int, dd: bool = False, order_pallas: bool = True):
     machinery executes (ghost ppermutes, interior masks, sharded
     repack) with zero real communication, so (single-chip rate − this)
     is the decomposition overhead.  ``order_pallas`` toggles the
-    round-5 Pallas order-CV islands (parallel/spatial.py
-    make_sharded_order_parts); the lagged fused kernel (mts_lag) is
-    single-device-only, so DD runs use plain bias-force MTS."""
+    round-5 Pallas order-CV islands (parallel/spatial.py);
+    ``lag`` controls the fused lagged-MTS kernel (default: on — since
+    round 5 it runs under DD too, make_sharded_lagged_parts)."""
     rho = 0.95                         # supercooled: nucleation regime
     a = (4.0 / rho) ** (1.0 / 3.0)
     n_cells = 25
@@ -121,7 +122,8 @@ def run_once(cap: int, dd: bool = False, order_pallas: bool = True):
         # 64k-atom CVs drift negligibly over 10 steps (≪ hill σ) — the
         # PLUMED MULTIPLE_TIME_STEP approximation, with the trailing
         # force call of each sub-chunk fused into one Pallas traversal
-        bias_every=10, mts_lag=not dd)
+        bias_every=10,
+        mts_lag=(not dd or bool(order_pallas)) if lag is None else lag)
 
     sampler.run(stride * 2)            # compile + settle
     sampler.run(stride * 2)            # 2nd dispatch: axon steady state
@@ -140,11 +142,12 @@ def run_once(cap: int, dd: bool = False, order_pallas: bool = True):
     return rate, ok
 
 
-def _measure(dd: bool = False, order_pallas: bool = True):
-    rate, ok = run_once(cap=32, dd=dd, order_pallas=order_pallas)
+def _measure(dd: bool = False, order_pallas: bool = True, lag=None):
+    rate, ok = run_once(cap=32, dd=dd, order_pallas=order_pallas, lag=lag)
     if not ok:
         # occupancy cliff: retry once with sublane headroom (see docstring)
-        rate, ok = run_once(cap=36, dd=dd, order_pallas=order_pallas)
+        rate, ok = run_once(cap=36, dd=dd, order_pallas=order_pallas,
+                            lag=lag)
     return rate, ok
 
 
@@ -167,7 +170,15 @@ def record(path: str = "BENCH_LOCAL.json"):
         "date": stamp, "shape": shape + ", bias_every=10 mts_lag",
         "vs_baseline": round(r / BASELINE, 4)}
 
-    r_dd, ok = _measure(dd=True, order_pallas=True)
+    r_ddl, ok = _measure(dd=True, order_pallas=True, lag=True)
+    assert ok, "dd lag run invalid"
+    entries["config3_dd_1dev_lagged"] = {
+        "value": round(r_ddl, 0), "unit": "particle-steps/s/chip",
+        "date": stamp,
+        "shape": shape + ", SpatialPackedEngine 1-device mesh, "
+        "bias_every=10 mts_lag (sharded fused kernel, round 5)"}
+
+    r_dd, ok = _measure(dd=True, order_pallas=True, lag=False)
     assert ok, "dd run invalid"
     entries["config3_dd_1dev_order_pallas"] = {
         "value": round(r_dd, 0), "unit": "particle-steps/s/chip",
@@ -175,7 +186,7 @@ def record(path: str = "BENCH_LOCAL.json"):
         "shape": shape + ", SpatialPackedEngine 1-device mesh, "
         "bias_every=10 (no lag), Pallas pair+order islands"}
 
-    r_dx, ok = _measure(dd=True, order_pallas=False)
+    r_dx, ok = _measure(dd=True, order_pallas=False, lag=False)
     assert ok, "dd/xla run invalid"
     entries["config3_dd_1dev_xla_order"] = {
         "value": round(r_dx, 0), "unit": "particle-steps/s/chip",
@@ -183,7 +194,7 @@ def record(path: str = "BENCH_LOCAL.json"):
         "shape": shape + ", SpatialPackedEngine 1-device mesh, "
         "bias_every=10, GSPMD order sweep (pre-round-5 path)"}
 
-    r_2d, ok = _measure(dd="2d", order_pallas=True)
+    r_2d, ok = _measure(dd="2d", order_pallas=True, lag=False)
     assert ok, "2d dd run invalid"
     entries["config3_dd2d_1x1dev_order_pallas"] = {
         "value": round(r_2d, 0), "unit": "particle-steps/s/chip",

@@ -69,12 +69,22 @@ def _lane_layout(cvs, mono: bool):
     return aux_off, val_off, na, nv
 
 
-def _kernel(xi, yi, zi, auxl, xj, yj, zj,
-            fx, fy, fz, gx_o, gy_o, gz_o,
-            fjx, fjy, fjz, gjx, gjy, gjz, vals,
-            *, cap: int, cvs, rc2: float, usig: float, ueps: float,
+def _kernel(xi, yi, zi, auxl, *refs,
+            cap: int, cvs, rc2: float, usig: float, ueps: float,
             mono: bool = False,
-            parts: frozenset = frozenset({"lj", "vals", "force"})):
+            parts: frozenset = frozenset({"lj", "vals", "force"}),
+            masked: bool = False):
+    refs = list(refs)
+    # per-i-CELL value weight (spatial DD: interior=1/ghost=0 — each
+    # global pair's value counted on exactly one device; see
+    # packed_order_pallas._values_kernel).  MONO mode only: there values
+    # and forces use separate weights (wt vs wq/nonself), so masking wt
+    # leaves the j-side force reactions of ghost-i pairs intact.
+    im = refs.pop(0) if masked else None
+    xj, yj, zj = refs[:3]
+    del refs[:3]
+    (fx, fy, fz, gx_o, gy_o, gz_o,
+     fjx, fjy, fjz, gjx, gjy, gjz, vals) = refs
     ct = pl.program_id(0)
     o = pl.program_id(1)
 
@@ -108,6 +118,9 @@ def _kernel(xi, yi, zi, auxl, xj, yj, zj,
     # value weight: cross-offset pairs enumerated once (×2 Newton); the
     # self offset enumerates both orders (×1) — _values_kernel parity
     wt = jnp.where(is_self, 1.0, 2.0)
+    if im is not None:
+        assert mono, "cell_mask requires the monomial math mode"
+        wt = wt * im[0:1, :]
     # j-side reactions only on cross offsets (self: i gets both orders)
     wj = jnp.where(is_self, 0.0, 1.0)
 
@@ -282,13 +295,19 @@ def decode_value_lanes(cvs, vals, mono: bool):
 
 def fused_lj_order_force(state: PackedState, spec: PackedSpec, cvs, auxs,
                          parts=frozenset({"lj", "vals", "force"}),
-                         mono: bool = False):
+                         mono: bool = False, cell_mask=None):
     """One traversal → (f_lj (3, Npad), g_bias (3, Npad), terms).
 
     ``auxs``: per-CV ``grad_aux`` outputs (the bias coefficients, usually
     from the PREVIOUS evaluation's terms — the MTS lag).  ``terms`` are
     the FRESH value sums at the current positions, structured exactly
-    like the split kernels' (feed them to the next ``grad_aux``)."""
+    like the split kernels' (feed them to the next ``grad_aux``).
+
+    ``cell_mask`` (C,) — the spatial-DD hook (requires ``mono=True``):
+    value sums weight every pair by its i-CELL (interior=1/ghost=0 on a
+    halo-extended local grid); the LJ and bias FORCES stay unmasked (the
+    caller discards ghost rows; j-side reactions onto the interior are
+    kept — the pair-island ghost-discard proof)."""
     assert spec.uniform_eps is not None and spec.uniform_sigma is not None, (
         "fused LJ+CV kernel requires the lean sentinel layout")
     assert not spec.has_bonds, "fused LJ+CV kernel: bonded specs unsupported"
@@ -309,9 +328,17 @@ def fused_lj_order_force(state: PackedState, spec: PackedSpec, cvs, auxs,
     slabs = [pad(s, 1, 2, VACANT_X) for s in raw]
     const = [pad(state.r[d].reshape(cap, C), 0, 1, VACANT_X)
              for d in range(3)]
+    mask_in = []
+    if cell_mask is not None:
+        assert mono, "cell_mask requires mono=True (see _kernel)"
+        mask_in = [jnp.broadcast_to(
+            jnp.pad(jnp.asarray(cell_mask, jnp.float32),
+                    (0, Cpad - C))[None, :], (8, Cpad))]
 
     const_spec = pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct),
                               memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((8, CT), lambda ct, o: (0, ct),
+                             memory_space=pltpu.VMEM)
     slab_spec = pl.BlockSpec((1, cap8, CT), lambda ct, o: (o, 0, ct),
                              memory_space=pltpu.VMEM)
     fi_spec = pl.BlockSpec((cap8, CT), lambda ct, o: (0, ct),
@@ -323,16 +350,17 @@ def fused_lj_order_force(state: PackedState, spec: PackedSpec, cvs, auxs,
     kern = functools.partial(
         _kernel, cap=cap8, cvs=tuple(cvs), rc2=float(spec.r_cut) ** 2,
         usig=float(spec.uniform_sigma), ueps=float(spec.uniform_eps),
-        mono=mono, parts=frozenset(parts))
+        mono=mono, parts=frozenset(parts), masked=cell_mask is not None)
     outs = pl.pallas_call(
         kern,
         grid=(n_ct, 14),
-        in_specs=[const_spec] * 3 + [lane_spec] + [slab_spec] * 3,
+        in_specs=([const_spec] * 3 + [lane_spec]
+                  + [mask_spec] * len(mask_in) + [slab_spec] * 3),
         out_specs=([fi_spec] * 6 + [fj_spec] * 6 + [lane_spec]),
         out_shape=([jax.ShapeDtypeStruct((cap8, Cpad), jnp.float32)] * 6
                    + [jax.ShapeDtypeStruct((14, cap8, Cpad), jnp.float32)] * 6
                    + [jax.ShapeDtypeStruct((1, 128), jnp.float32)]),
-    )(*const, aux_lanes, *slabs)
+    )(*const, aux_lanes, *mask_in, *slabs)
     fx, fy, fz, gxo, gyo, gzo = outs[:6]
     fjx, fjy, fjz, gjx, gjy, gjz = outs[6:12]
     vals = outs[12][0]

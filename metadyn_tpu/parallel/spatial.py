@@ -445,6 +445,121 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
     return values_fn, force_fn
 
 
+def make_sharded_lagged_parts(cvs, spec: PackedSpec, mesh: Mesh,
+                              axis: str = "space", nested: bool = False,
+                              walls=None):
+    """Sharded twin of ``sampler.make_lagged_parts`` — the fully-fused
+    lagged-MTS kernel (ops/packed_fused_pallas) running INSIDE the
+    spatial island, closing the last single-device-only stage of the
+    Config-3 hot path under DD.
+
+    One Pallas traversal on the halo-extended local grid returns the LJ
+    force + the bias force (coefficients lagged one sub-chunk) + fresh
+    CV value sums; forces discard ghost rows (pair-island proof), value
+    sums weight each pair by its i-cell interior mask and are
+    psum-finished.  MONO math mode only — there value and force weights
+    are separate in-kernel, so the interior mask cannot clip the j-side
+    force reactions of ghost-i pairs.
+
+    Returns ``(seed_eval, fused_force)`` with the make_lagged_parts
+    contract; the exact seed evaluation reuses the split order islands.
+    """
+    from ..bias.metad import bias_value_and_grad
+    from ..ops.packed_fused_pallas import fused_lj_order_force
+    assert spec.uniform_eps is not None and spec.uniform_sigma is not None \
+        and not spec.has_bonds, (
+            "sharded mts_lag needs the lean sentinel layout")
+    cap, C = spec.cap, spec.n_cells
+    cx, cy, cz = spec.cells_per_dim
+    n_dev = mesh.shape[axis]
+    assert cx % n_dev == 0
+    cx_l = cx // n_dev
+    plane = cy * cz
+    C_l = cx_l * plane
+    spec_ext = spec.replace(cells_per_dim=(cx_l + 2, cy, cz))
+    interior = np.zeros((cx_l + 2, plane), np.float32)
+    interior[1:-1] = 1.0
+    interior = jnp.asarray(interior.reshape(-1))
+    values_fn, force_fn = make_sharded_order_parts(
+        cvs, spec, mesh, axis, nested=nested)
+
+    def grad_with_walls(bias, s):
+        _, dVds = bias_value_and_grad(bias, s)
+        if walls is not None:
+            _, gw = walls.energy_and_grad(s)
+            dVds = dVds + gw
+        return dVds
+
+    def seed_eval(state, bias):
+        s, ctx = values_fn(state)
+        terms, _ = ctx
+        dVds = grad_with_walls(bias, s)
+        return force_fn(state, ctx, dVds), terms
+
+    def local_fused(r, box_L, shard_ix, auxs, *tilt_arg):
+        """Sentinel layout: only coordinates ride the halo exchange."""
+        idx = shard_ix[0]
+        v4 = [r[d].reshape(cap, cx_l, plane) for d in range(3)]
+        lo = jnp.stack([c[:, 0] for c in v4])
+        hi = jnp.stack([c[:, -1] for c in v4])
+        lh, rh = _halo_exchange(lo, hi, axis, n_dev)
+        lh = lh.at[0].add(jnp.where(idx == 0, -box_L[0], 0.0))
+        rh = rh.at[0].add(jnp.where(idx == n_dev - 1, box_L[0], 0.0))
+        ext = [jnp.concatenate([lh[i][:, None], v4[i], rh[i][:, None]],
+                               axis=1).reshape(cap, -1)
+               for i in range(3)]
+        npad_ext = cap * (cx_l + 2) * plane
+        r_ext = jnp.stack(ext).reshape(3, -1)
+        st_ext = PackedState(
+            r=r_ext, v=jnp.zeros((3, npad_ext)),
+            f=jnp.zeros((3, npad_ext)),
+            image=jnp.zeros((3, npad_ext), jnp.int32),
+            ref_r=r_ext,
+            pid=jnp.zeros(npad_ext, jnp.int32),
+            typ=jnp.zeros(npad_ext, jnp.int32),
+            slot_of=jnp.zeros(1, jnp.int32),
+            attrs={},
+            box=Box(L=box_L, tilt=tilt_arg[0] if tilt_arg else None),
+            potential_energy=jnp.float32(0.0),
+            virial=jnp.zeros(3, jnp.float32))
+        f_lj, g, terms = fused_lj_order_force(
+            st_ext, spec_ext, cvs, auxs, mono=True, cell_mask=interior)
+        cut = lambda a: a.reshape(3, cap, cx_l + 2, plane)[:, :, 1:-1] \
+            .reshape(3, cap, C_l)
+        terms = jax.tree.map(lambda x: jax.lax.psum(x, axis), terms)
+        return cut(f_lj), cut(g), terms
+
+    shard_iota = jnp.arange(n_dev, dtype=jnp.int32)
+    islands = {}
+
+    def get_island(tilted: bool):
+        if tilted not in islands:
+            islands[tilted] = _shard_map(
+                local_fused, None if nested else mesh,
+                in_specs=(P(None, None, axis), P(), P(axis), P())
+                + ((P(),) if tilted else ()),
+                out_specs=(P(None, None, axis), P(None, None, axis), P()),
+                axis_names=(axis,) if nested else None, check_vma=False)
+        return islands[tilted]
+
+    def fused_force(state, bias, terms):
+        s = jnp.stack([cv.finalize_value(t) for cv, t in zip(cvs, terms)])
+        dVds = grad_with_walls(bias, s)
+        auxs = tuple(cv.grad_aux(t, dVds[i])
+                     for i, (cv, t) in enumerate(zip(cvs, terms)))
+        tilted = state.box.tilt is not None
+        extra = (state.box.tilt,) if tilted else ()
+        f, g, terms_new = get_island(tilted)(
+            state.r.reshape(3, cap, C), state.box.L, shard_iota, auxs,
+            *extra)
+        tag = _vma_tag(state.r)       # see _vma_tag
+        terms_new = jax.tree.map(lambda x: x + tag, terms_new)
+        return ((f + tag).reshape(3, cap * C),
+                (g + tag).reshape(3, cap * C), terms_new)
+
+    return seed_eval, fused_force
+
+
 def make_sharded_repack(spec: PackedSpec, mesh: Mesh, axis: str = "space",
                         nested: bool = False):
     """Sharded incremental repack: slot migration with ghost-plane
@@ -742,6 +857,27 @@ class SpatialPackedEngine(PackedEngine):
         return make_sharded_order_parts(
             list(cvs), self.spec, self.mesh, self.axis,
             nested=self._nested_islands)
+
+    def make_lagged_parts(self, cvs, walls=None):
+        """(seed_eval, fused_force) for ``MetadSampler(mts_lag=True)``
+        under spatial DD (make_sharded_lagged_parts) — or None when the
+        layout/CV combination is unsupported, in which case the sampler
+        falls back to plain bias_every MTS."""
+        spec = self.spec
+        if not (self.order_pallas
+                and spec.uniform_eps is not None
+                and spec.uniform_sigma is not None
+                and not spec.has_bonds
+                and len(cvs) > 0
+                and all(hasattr(cv, "pair_value_terms_flat")
+                        and hasattr(cv, "pair_grad_terms") for cv in cvs)
+                and all((not getattr(cv, "sphere_poly", False))
+                        or hasattr(cv, "mono_force_vecs") for cv in cvs)
+                and not any(hasattr(cv, "bias_virial") for cv in cvs)):
+            return None
+        return make_sharded_lagged_parts(
+            list(cvs), spec, self.mesh, self.axis,
+            nested=self._nested_islands, walls=walls)
 
     def rebuild(self, state: PackedState, aux: PackedAux):
         # the repack decision is a GLOBAL scalar (max displacement over

@@ -217,10 +217,16 @@ _HELD_G_ATTRS = ("held_gx", "held_gy", "held_gz")
 
 
 def lag_supported(engine, cvs) -> bool:
-    """True iff :func:`make_lagged_parts` would accept this combination
-    (sentinel-layout packed engine with Pallas + roll-sweep order CVs)."""
+    """True iff the lagged fused-MTS path would accept this combination:
+    the sentinel-layout packed engine with Pallas + roll-sweep order CVs
+    — single-device (:func:`make_lagged_parts`) or spatial-DD (the
+    engine's ``make_lagged_parts`` island builder, round 5)."""
     spec = getattr(engine, "spec", None)
-    return (spec is not None and getattr(engine, "use_pallas", False)
+    if spec is None:
+        return False
+    if hasattr(engine, "make_lagged_parts"):
+        return engine.make_lagged_parts(list(cvs)) is not None
+    return (getattr(engine, "use_pallas", False)
             and spec.uniform_eps is not None
             and spec.uniform_sigma is not None
             and not spec.has_bonds
@@ -606,7 +612,11 @@ class MetadSampler:
         ctx0 = None
         if mts_lag:
             assert bias_every > 1, "mts_lag requires bias_every > 1"
-            lag_parts = make_lagged_parts(engine, cvs, system, walls)
+            # spatial engines build the fused kernel as shard_map islands
+            lag_parts = (engine.make_lagged_parts(list(cvs), walls)
+                         if hasattr(engine, "make_lagged_parts") else None)
+            if lag_parts is None:
+                lag_parts = make_lagged_parts(engine, cvs, system, walls)
             seed_eval, _ = lag_parts
 
             def _seed(st, b):

@@ -244,3 +244,115 @@ def test_product_mesh_pallas_kernels_match_xla():
                                np.asarray(s_x.bias.grid.V),
                                rtol=1e-3, atol=2e-5)
     assert not np.any(np.asarray(h_p[-1]["nlist_overflow"]))
+
+
+def test_sharded_lagged_fused_matches_global():
+    """The sharded lagged-MTS fused kernel (make_sharded_lagged_parts)
+    == the global mono-mode fused traversal, given the SAME lagged terms
+    and bias: LJ force, bias force (ghost-discard) and fresh value sums
+    (interior-mask + psum).  Then a 40-step MetadSampler(mts_lag=True)
+    run on the DD engine stays finite and deposits — the round-5 closer
+    for the last single-device-only stage of the Config-3 hot path."""
+    import metadyn_tpu.ops.packed_fused_pallas as pfp
+    import metadyn_tpu.ops.packed_order_pallas as pop
+    import metadyn_tpu.ops.packed_pallas2 as pp2
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.cv.packed_order import (PackedSteinhardtQl,
+                                             PackedCoordination)
+    from metadyn_tpu.ops.packed_fused_pallas import fused_lj_order_force
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import BiasState, HillSpec, WELL_TEMPERED
+    from metadyn_tpu.sampler import MetadSampler, lag_supported
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+
+    a_lat = 1.62
+    pos = fcc_lattice(8, a_lat)
+    n = pos.shape[0]
+    L = 8 * a_lat
+    rng = np.random.default_rng(9)
+    pos = (pos + rng.normal(0, 0.05, pos.shape)).astype(np.float32)
+    box = Box.cubic(L)
+    system = make_system(n)
+    nn = a_lat / np.sqrt(2)
+    spec = PackedSpec.create(L, n, r_cut=2.5, skin=0.4, cap=40,
+                             uniform_sigma=1.0, uniform_eps=1.0,
+                             shift_energy=False)
+    cvs = [PackedSteinhardtQl(spec=spec, r_cut=nn * 1.2, l=6, name="q6"),
+           PackedCoordination(spec=spec, r0=nn * 1.35,
+                              r_cut=nn * 1.35 * 1.5, name="co")]
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("space",))
+    engine = SpatialPackedEngine(spec, mesh, rebuild_every=5,
+                                 pair_pallas=True, order_pallas=True)
+    assert lag_supported(engine, cvs)
+    st, ovf = engine.pack_state(pos, box, np.zeros(n, np.int32),
+                                eps_i=np.ones(n, np.float32),
+                                sigma_i=np.ones(n, np.float32))
+    assert not bool(ovf)
+
+    grid = GridSpec.create([0.0, 4.0], [0.7, 28.0], [32, 32], [0.02, 0.5])
+    bias = BiasState.zeros(grid)
+    bias = bias.replace(grid=bias.grid.replace(
+        dV=bias.grid.dV + 0.3))      # nonzero dV/ds so forces are live
+
+    orig = pl.pallas_call
+    patch = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    pfp.pl.pallas_call = patch
+    pop.pl.pallas_call = patch
+    pp2.pl.pallas_call = patch
+    try:
+        seed_eval, fused_force = engine.make_lagged_parts(cvs)
+        g0, terms0 = jax.jit(lambda s: seed_eval(s, bias))(st)
+        f_dd, g_dd, t_dd = jax.jit(
+            lambda s, t: fused_force(s, bias, t))(st, terms0)
+
+        # global mono-mode reference with identical aux coefficients
+        from metadyn_tpu.bias.metad import bias_value_and_grad
+
+        def global_ref(s, terms):
+            sv = jnp.stack([cv.finalize_value(t)
+                            for cv, t in zip(cvs, terms)])
+            _, dVds = bias_value_and_grad(bias, sv)
+            auxs = [cv.grad_aux(t, dVds[i])
+                    for i, (cv, t) in enumerate(zip(cvs, terms))]
+            return fused_lj_order_force(s, spec, cvs, auxs, mono=True)
+
+        f_x, g_x, t_x = jax.jit(global_ref)(st, terms0)
+    finally:
+        pfp.pl.pallas_call = orig
+        pop.pl.pallas_call = orig
+        pp2.pl.pallas_call = orig
+
+    scale_f = float(np.abs(np.asarray(f_x)).max())
+    np.testing.assert_allclose(np.asarray(f_dd), np.asarray(f_x),
+                               rtol=1e-4, atol=1e-5 * scale_f)
+    scale_g = float(np.abs(np.asarray(g_x)).max())
+    np.testing.assert_allclose(np.asarray(g_dd), np.asarray(g_x),
+                               rtol=1e-3, atol=2e-5 * scale_g)
+    for a, b in zip(jax.tree.leaves(t_dd), jax.tree.leaves(t_x)):
+        # partition-dependent pair summation order: f32 reassociation
+        # noise on large-cancellation sums (per-m Y_lm terms)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+    # end-to-end: the DD sampler runs the lagged path
+    orig = pl.pallas_call
+    pfp.pl.pallas_call = patch
+    pop.pl.pallas_call = patch
+    pp2.pl.pallas_call = patch
+    try:
+        s2 = MetadSampler(
+            system, st, engine, cvs=cvs, grid_spec=grid,
+            hills=HillSpec.create(W=0.4, stride=20, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f: make_packed_langevin_step(
+                f, dt=0.004, kT=0.7, gamma=1.0),
+            seed=0, chunks_per_block=1, bias_every=5, mts_lag=True)
+        h = s2.run(40)
+    finally:
+        pfp.pl.pallas_call = orig
+        pop.pl.pallas_call = orig
+        pp2.pl.pallas_call = orig
+    m = h[-1]
+    assert not bool(np.asarray(m["nlist_overflow"]))
+    assert np.isfinite(np.asarray(m["cv"])).all()
+    assert int(s2.bias.n_hills) == 2
