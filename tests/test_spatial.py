@@ -1071,3 +1071,73 @@ def test_triclinic_under_spatial_dd():
     p_r = np.asarray(unpack_positions(s_ref.state, spec))
     p_d = np.asarray(unpack_positions(s_dd.state, spec))
     np.testing.assert_allclose(p_d, p_r, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.smoke
+def test_triclinic_on_product_mesh():
+    """Triclinic boxes compose with walkers x space too (the docs §4.6
+    matrix claim): the tilt operand rides the nested islands as a
+    walker-varying replicated-over-space input.  2 walkers x 2 shards in
+    the tilted cell match the walkers-only run."""
+    from metadyn_tpu.core.box import h_matrix
+    from metadyn_tpu.core.state import make_system
+    from metadyn_tpu.core.packed_engine import PackedEngine
+    from metadyn_tpu.parallel.spatial import SpatialPackedEngine
+    from metadyn_tpu.parallel.walkers import WalkerSampler
+    from metadyn_tpu.integrate.packed import make_packed_langevin_step
+    from metadyn_tpu.cv.packed import PackedLamellar
+    from metadyn_tpu.bias.grid import GridSpec
+    from metadyn_tpu.bias.metad import HillSpec, WELL_TEMPERED
+
+    L, tilt = 15.0, (0.2, -0.15, 0.1)
+    rng = np.random.default_rng(0)
+    box = Box.triclinic(L, L, L, *tilt)
+    g = 9
+    f = (np.stack(np.meshgrid(*[np.arange(g)] * 3, indexing="ij"),
+                  -1).reshape(-1, 3) + 0.5) / g - 0.5
+    f = f + rng.uniform(-0.03, 0.03, f.shape)
+    pos = (np.asarray(h_matrix(box)) @ f.T).T.astype(np.float32)
+    n = pos.shape[0]
+    spec = PackedSpec.create(L, n, r_cut=2.0, skin=0.4, cap=16,
+                             shift_energy=False, tilt=tilt)
+    cv = PackedLamellar.create([[0, 0, 2]], n_real=n, name="lam")
+    system = make_system(n)
+
+    def pack_one(engine, w):
+        r = np.random.default_rng(100 + w)
+        vel = r.normal(0, 1.0, (n, 3)).astype(np.float32)
+        vel -= vel.mean(0)
+        st, ovf = engine.pack_state(
+            pos, box, np.zeros(n, np.int32), eps_i=np.ones(n, np.float32),
+            sigma_i=np.ones(n, np.float32), vel=vel,
+            extra_attrs={cv.attr_name: np.ones(n, np.float32)})
+        assert not bool(ovf)
+        return st
+
+    def build(engine, mesh):
+        states = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[pack_one(engine, w) for w in range(2)])
+        return WalkerSampler(
+            system, states, engine, cvs=[cv],
+            grid_spec=GridSpec.create([-0.5], [0.5], [51], [0.02]),
+            hills=HillSpec.create(W=0.5, stride=25, mode=WELL_TEMPERED,
+                                  deltaT=5.0),
+            integrator_factory=lambda f2: make_packed_langevin_step(
+                f2, dt=0.002, kT=1.0, gamma=1.0),
+            seed=0, chunks_per_block=1, mesh=mesh)
+
+    devs = np.asarray(jax.devices())
+    s_ref = build(PackedEngine(spec, rebuild_every=5, use_pallas=False),
+                  Mesh(devs[:2], ("walkers",)))
+    h_ref = s_ref.run(50)
+    mesh2 = Mesh(devs[:4].reshape(2, 2), ("walkers", "space"))
+    s2 = build(SpatialPackedEngine(spec, mesh2, rebuild_every=5,
+                                   nested=True), mesh2)
+    h2 = s2.run(50)
+    np.testing.assert_allclose(np.asarray(h2[-1]["cv"]),
+                               np.asarray(h_ref[-1]["cv"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.bias.grid.V),
+                               np.asarray(s_ref.bias.grid.V),
+                               rtol=1e-4, atol=1e-6)
+    assert not np.any(np.asarray(h2[-1]["nlist_overflow"]))
