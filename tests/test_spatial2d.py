@@ -414,3 +414,44 @@ def test_walkers_times_2d_space():
     assert not np.any(np.asarray(m3["nlist_overflow"]))
     assert np.isfinite(np.asarray(m3["potential_energy"])).all()
     assert int(s2.bias.n_hills) == 16
+
+
+@pytest.mark.smoke
+def test_flux_on_2d_and_walkers_2d_meshes():
+    """Flux-tempered mode on the 2-D decomposition AND on the walkers x
+    2-D product mesh from YAML (backs the §4.6 matrix row): pooled
+    histograms, update applied, finite bias."""
+    from metadyn_tpu.cli import build_sampler
+    from metadyn_tpu.flux_sampler import FluxTemperedSampler
+
+    base = dict(
+        seed=0,
+        system={"init": {"kind": "sc", "n_per_side": 6, "spacing": 2.0}},
+        engine={"kind": "packed", "spatial_devices": [2, 2], "skin": 0.5,
+                "rebuild_every": 2, "cap": 24,
+                "pair": {"kind": "lj", "r_cut": 2.5, "shift": False}},
+        integrator={"kind": "langevin", "dt": 0.004, "kT": 1.0,
+                    "gamma": 1.0},
+        cvs=[{"name": "lam", "kind": "lamellar",
+              "lattice_vector": [0, 0, 2],
+              "grid": {"min": -0.5, "max": 0.5, "num_points": 31,
+                       "sigma": 0.02}}],
+        metadynamics={"mode": "flux_tempered", "stride": 10,
+                      "update_period": 2, "min_round_trips": 0},
+        run={"n_steps": 20}, output={})
+    s, _ = build_sampler(base)
+    assert isinstance(s, FluxTemperedSampler)
+    assert isinstance(s.engine, SpatialPackedEngine2D)
+    s.run(20)
+    assert s.n_updates == 1
+    assert np.isfinite(np.asarray(s.bias.grid.V)).all()
+
+    w2 = dict(base)
+    w2["metadynamics"] = dict(base["metadynamics"], n_walkers=2)
+    s2, _ = build_sampler(w2)
+    assert s2.n_walkers == 2
+    assert s2.mesh.axis_names == ("walkers", "spacex", "spacey")
+    s2.run(20)
+    assert tuple(s2.carry.flux.hist.shape) == (2, 31)
+    assert s2.n_updates == 1
+    assert np.isfinite(np.asarray(s2.bias.grid.V)).all()
