@@ -187,6 +187,22 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
     interior[-1] = 0.0
     interior = jnp.asarray(interior.reshape(-1))
     attr_names = _force_attr_names(spec)
+    # the Pallas kernel reads exactly the columns its mode needs; ship
+    # ONLY those through the halo exchange (lean sentinel Config-3: just
+    # the 3 coordinate columns — 7 → 3 exchanged planes per side).  The
+    # XLA island (energy refreshes) keeps the full column set:
+    # packed_lj_force reads se/hs unconditionally.
+    if pair_pallas:
+        need_pid = spec.has_bonds
+        need_typ = spec.has_pair_table
+        ex_attrs = ([k for k, need in (("se", spec.uniform_eps is None),
+                                       ("hs", spec.uniform_sigma is None))
+                     if need]
+                    + [f"bp{k}" for k in range(spec.bond_slots)
+                       if spec.has_bonds])
+    else:
+        need_pid = need_typ = True
+        ex_attrs = attr_names
 
     def local_force(r, pid, typ, attrs, box_L, shard_ix, *tilt_arg):
         """Per-device body: r (3, cap, C_l), pid/typ (cap, C_l) i32,
@@ -203,12 +219,17 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
         idx = shard_ix[0]
         Lx = box_L[0]
 
-        # one stacked halo exchange for all columns (typ rides along when
-        # a per-type-pair table indexes it in the kernel — a ghost with
-        # typ=0 would silently read row 0 of the ε/σ tables otherwise)
-        cols = [r[d] for d in range(3)] + [pid.astype(jnp.float32)] \
-            + [typ.astype(jnp.float32)] \
-            + [attrs[k] for k in attr_names]
+        # one stacked halo exchange for the NEEDED columns only (typ
+        # rides along when a per-type-pair table indexes it in the
+        # kernel — a ghost with typ=0 would silently read row 0 of the
+        # ε/σ tables otherwise; see the ex_attrs plan above)
+        npad_ext = cap * (cx_l + 2) * plane
+        cols = [r[d] for d in range(3)]
+        if need_pid:
+            cols.append(pid.astype(jnp.float32))
+        if need_typ:
+            cols.append(typ.astype(jnp.float32))
+        cols += [attrs[k] for k in ex_attrs]
         v4 = [c.reshape(cap, cx_l, plane) for c in cols]
         lo = jnp.stack([c[:, 0] for c in v4])        # (W, cap, plane)
         hi = jnp.stack([c[:, -1] for c in v4])
@@ -221,17 +242,26 @@ def make_sharded_lj_force(spec: PackedSpec, mesh: Mesh, axis: str = "space",
                for i in range(len(cols))]
 
         r_ext = jnp.stack(ext[0:3])
-        pid_ext = ext[3].astype(jnp.int32)
-        typ_ext = ext[4].astype(jnp.int32)
-        attrs_ext = dict(zip(attr_names, ext[5:]))
-        npad_ext = cap * (cx_l + 2) * plane
+        i = 3
+        if need_pid:
+            pid_ext = ext[i].astype(jnp.int32).reshape(-1)
+            i += 1
+        else:
+            # unread by the kernel in this mode; keep the vacant value
+            pid_ext = jnp.full(npad_ext, spec.n_real, jnp.int32)
+        if need_typ:
+            typ_ext = ext[i].astype(jnp.int32).reshape(-1)
+            i += 1
+        else:
+            typ_ext = jnp.zeros(npad_ext, jnp.int32)
+        attrs_ext = dict(zip(ex_attrs, ext[i:]))
         st_ext = PackedState(
             r=r_ext.reshape(3, -1), v=jnp.zeros((3, npad_ext)),
             f=jnp.zeros((3, npad_ext)),
             image=jnp.zeros((3, npad_ext), jnp.int32),
             ref_r=r_ext.reshape(3, -1),
-            pid=pid_ext.reshape(-1),
-            typ=typ_ext.reshape(-1),
+            pid=pid_ext,
+            typ=typ_ext,
             slot_of=jnp.zeros(1, jnp.int32),
             attrs={k: v.reshape(-1) for k, v in attrs_ext.items()},
             box=box,
@@ -340,10 +370,16 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
     n_terms = sum(cv.n_value_terms for cv in cvs)
     n_aux = sum(cv.aux_size for cv in cvs)
 
+    sentinel = spec.uniform_eps is not None
+
     def ext_state(r, pid, box_L, idx, tilt=None):
         """Halo-extend r (3, cap, C_l) + pid (cap, C_l) into a local
-        PackedState on the (cx_l+2, cy, cz) grid (local_force twin)."""
-        cols = [r[d] for d in range(3)] + [pid.astype(jnp.float32)]
+        PackedState on the (cx_l+2, cy, cz) grid (local_force twin).
+        Sentinel layouts skip the pid exchange — the order kernels cull
+        vacancy by the coordinate sentinel alone."""
+        cols = [r[d] for d in range(3)]
+        if not sentinel:
+            cols.append(pid.astype(jnp.float32))
         v4 = [c.reshape(cap, cx_l, plane) for c in cols]
         lo = jnp.stack([c[:, 0] for c in v4])
         hi = jnp.stack([c[:, -1] for c in v4])
@@ -355,12 +391,14 @@ def make_sharded_order_parts(cvs, spec: PackedSpec, mesh: Mesh,
                for i in range(len(cols))]
         npad_ext = cap * (cx_l + 2) * plane
         r_ext = jnp.stack(ext[0:3]).reshape(3, -1)
+        pid_ext = (jnp.full(npad_ext, spec.n_real, jnp.int32) if sentinel
+                   else ext[3].astype(jnp.int32).reshape(-1))
         return PackedState(
             r=r_ext, v=jnp.zeros((3, npad_ext)),
             f=jnp.zeros((3, npad_ext)),
             image=jnp.zeros((3, npad_ext), jnp.int32),
             ref_r=r_ext,
-            pid=ext[3].astype(jnp.int32).reshape(-1),
+            pid=pid_ext,
             typ=jnp.zeros(npad_ext, jnp.int32),
             slot_of=jnp.zeros(1, jnp.int32),
             attrs={},
