@@ -692,6 +692,10 @@ def build_sampler(cfg: dict, resume: bool = False):
 
     if n_walkers > 1:
         assert grid is not None, "multi-walker mode needs a CV grid"
+        if bool(mcfg.get("mts_lag", False)):
+            print("note: metadynamics.mts_lag applies to single-replica "
+                  "runs; multi-walker mode uses plain bias_every MTS",
+                  file=sys.stderr)
         states, wk_mesh = _stacked_walker_states()
         sampler = WalkerSampler(
             system, states, engine, cvs=cvs, grid_spec=grid, hills=hills,
